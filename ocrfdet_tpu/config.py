@@ -1,0 +1,279 @@
+"""Typed experiment configuration.
+
+Replaces the reference's mmcv Config python-dict system
+(/root/reference/configs/ocrfdet/ocrfdet.py) with frozen dataclasses.
+Every leaf parameter of the reference experiment config is represented;
+`ocrfdet_config()` reproduces configs/ocrfdet/ocrfdet.py:31-154 and
+`tiny_config()` gives a CPU-runnable miniature for tests.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+CLASS_NAMES = (
+    "car", "truck", "construction_vehicle", "bus", "trailer", "barrier",
+    "motorcycle", "bicycle", "pedestrian", "traffic_cone",
+)
+
+
+@dataclass(frozen=True)
+class GridConfig:
+    """BEV/depth grid (reference configs/ocrfdet/ocrfdet.py:31-37)."""
+    x: Tuple[float, float, float] = (-51.2, 51.2, 0.8)
+    y: Tuple[float, float, float] = (-51.2, 51.2, 0.8)
+    z: Tuple[float, float, float] = (-5.0, 3.0, 8.0)
+    # (lower, upper, step); SID spacing is applied on top of this range.
+    depth: Tuple[float, float, float] = (1.0, 60.0, 0.5)
+
+    @property
+    def bev_size(self) -> Tuple[int, int]:
+        nx = int(round((self.x[1] - self.x[0]) / self.x[2]))
+        ny = int(round((self.y[1] - self.y[0]) / self.y[2]))
+        return nx, ny
+
+    @property
+    def num_z(self) -> int:
+        return int(round((self.z[1] - self.z[0]) / self.z[2]))
+
+    @property
+    def num_depth_bins(self) -> int:
+        lo, hi, step = self.depth
+        return int(round((hi - lo) / step))  # 118 for (1, 60, 0.5)
+
+    @property
+    def pc_range(self) -> Tuple[float, float, float, float, float, float]:
+        return (self.x[0], self.y[0], self.z[0], self.x[1], self.y[1], self.z[1])
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Camera set + image augmentation (reference config data_config)."""
+    cams: Tuple[str, ...] = (
+        "CAM_FRONT_LEFT", "CAM_FRONT", "CAM_FRONT_RIGHT",
+        "CAM_BACK_LEFT", "CAM_BACK", "CAM_BACK_RIGHT",
+    )
+    num_cams: int = 6
+    input_size: Tuple[int, int] = (256, 704)  # (H, W)
+    src_size: Tuple[int, int] = (900, 1600)
+    resize: Tuple[float, float] = (-0.06, 0.11)
+    rot: Tuple[float, float] = (-5.4, 5.4)
+    flip: bool = True
+    crop_h: Tuple[float, float] = (0.0, 0.0)
+    resize_test: float = 0.0
+
+
+@dataclass(frozen=True)
+class BdaConfig:
+    """BEV data augmentation (reference bda_aug_conf)."""
+    rot_lim: Tuple[float, float] = (-22.5, 22.5)
+    scale_lim: Tuple[float, float] = (0.95, 1.05)
+    flip_dx_ratio: float = 0.5
+    flip_dy_ratio: float = 0.5
+
+
+@dataclass(frozen=True)
+class BackboneConfig:
+    """ResNet image backbone (reference config img_backbone)."""
+    depth: int = 50
+    # Features returned: stage indices (0-based after stem). (0, 2, 3)
+    # -> stage-1 feature (stereo), stage-3 + stage-4 features (FPN).
+    out_indices: Tuple[int, ...] = (0, 2, 3)
+    remat: bool = True  # with_cp in the reference
+
+
+@dataclass(frozen=True)
+class DepthNetConfig:
+    """DepthNet (reference depthnet_cfg + DepthNet ctor defaults)."""
+    mid_channels: int = 256
+    use_aspp: bool = True
+    aspp_mid_channels: int = 96
+    stereo: bool = True
+    cost_volume_bias: float = 5.0
+    cost_volume_group_size: int = 4
+    cv_downsample: int = 4
+
+
+@dataclass(frozen=True)
+class ViewTransformerConfig:
+    """OcRF view transformer (reference img_view_transformer + class init,
+    view_transformer_ocrf.py:577-650)."""
+    in_channels: int = 256
+    out_channels: int = 80           # numC_Trans
+    downsample: int = 16
+    bev_h: int = 128
+    bev_w: int = 128
+    num_height: int = 13             # gaussians per pillar
+    depth_threshold: float = 1.0     # divided by D at runtime
+    semantic_threshold: float = 0.25
+    loss_depth_weight: float = 3.0
+    loss_semantic_weight: float = 25.0
+    depthnet: DepthNetConfig = field(default_factory=DepthNetConfig)
+    # renderer: 'xla' (reference compositor) or 'pallas' (tiled kernel)
+    renderer: str = "pallas"
+    render_image_size: Tuple[int, int] = (256, 704)
+    znear: float = 0.01
+    zfar: float = 999.9
+
+
+@dataclass(frozen=True)
+class BevEncoderConfig:
+    """CustomResNet + FPN_LSS (reference img_bev_encoder_*)."""
+    num_layer: Tuple[int, ...] = (2, 2, 2)
+    stride: Tuple[int, ...] = (2, 2, 2)
+    # channels are multiples of the (temporal-concat) input channels
+    channel_mults: Tuple[int, ...] = (2, 4, 8)
+    neck_out_channels: int = 256
+
+
+@dataclass(frozen=True)
+class TaskConfig:
+    class_names: Tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class CenterHeadConfig:
+    """CenterHead (reference config pts_bbox_head + train/test_cfg)."""
+    in_channels: int = 256
+    share_conv_channel: int = 64
+    tasks: Tuple[TaskConfig, ...] = (
+        TaskConfig(("car",)),
+        TaskConfig(("truck", "construction_vehicle")),
+        TaskConfig(("bus", "trailer")),
+        TaskConfig(("barrier",)),
+        TaskConfig(("motorcycle", "bicycle")),
+        TaskConfig(("pedestrian", "traffic_cone")),
+    )
+    common_heads: Tuple[Tuple[str, int], ...] = (
+        ("reg", 2), ("height", 1), ("dim", 3), ("rot", 2), ("vel", 2),
+    )
+    head_conv_channel: int = 64
+    num_head_convs: int = 2
+    final_kernel: int = 3
+    init_bias: float = -2.19
+    norm_bbox: bool = True
+    loss_bbox_weight: float = 0.25
+    code_weights: Tuple[float, ...] = (1.0,) * 10
+    # target assigner (train_cfg.pts)
+    out_size_factor: int = 8
+    voxel_size: Tuple[float, float] = (0.1, 0.1)
+    gaussian_overlap: float = 0.1
+    min_radius: int = 2
+    max_objs: int = 500
+    # decode / NMS (test_cfg.pts)
+    post_center_range: Tuple[float, ...] = (-61.2, -61.2, -10.0, 61.2, 61.2, 10.0)
+    max_num: int = 500
+    score_threshold: float = 0.1
+    pre_max_size: int = 1000
+    post_max_size: int = 83
+    nms_type: Tuple[str, ...] = ("rotate", "rotate", "rotate", "circle", "rotate", "rotate")
+    nms_thr: Tuple[float, ...] = (0.3, 0.1, 0.1, 0.1, 0.1, 0.5)
+    nms_rescale_factor: Tuple = (1.0, (0.7, 0.7), (0.4, 0.55), 1.1, (1.0, 1.0), (4.5, 9.0))
+    circle_nms_min_radius: Tuple[float, ...] = (4, 12, 10, 1, 0.85, 0.175)
+
+    @property
+    def num_classes(self) -> int:
+        return sum(len(t.class_names) for t in self.tasks)
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """AdamW + schedule + EMA (reference config:256-337)."""
+    lr: float = 2e-4
+    weight_decay: float = 1e-2
+    grad_clip_norm: float = 5.0
+    warmup_iters: int = 400
+    warmup_ratio: float = 1e-3
+    max_epochs: int = 20
+    lr_mult_render: float = 2.0     # 2x lr for render MLPs
+    # CustomLrUpdaterHook: render-MLP lr scaled by 1/2^epoch each epoch
+    render_lr_decay_per_epoch: float = 0.5
+    ema_decay: float = 0.999
+    ema_init_updates: int = 10560   # MEGVIIEMAHook init_updates
+    # SequentialControlHook: temporal fusion off for epochs < this
+    temporal_start_epoch: int = 2
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Device mesh layout. data axis = batch DP; space axis shards
+    cameras / BEV spatial tiles (TPU-native extension; reference has
+    only DDP, apis/train.py:227-231)."""
+    data_axis: int = -1   # -1 = all devices
+    space_axis: int = 1
+
+
+@dataclass(frozen=True)
+class OcRFDetConfig:
+    """Top-level experiment config (mirrors configs/ocrfdet/ocrfdet.py)."""
+    grid: GridConfig = field(default_factory=GridConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    bda: BdaConfig = field(default_factory=BdaConfig)
+    backbone: BackboneConfig = field(default_factory=BackboneConfig)
+    vt: ViewTransformerConfig = field(default_factory=ViewTransformerConfig)
+    bev_encoder: BevEncoderConfig = field(default_factory=BevEncoderConfig)
+    head: CenterHeadConfig = field(default_factory=CenterHeadConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    class_names: Tuple[str, ...] = CLASS_NAMES
+    # temporal: number of adjacent frames fused (reference
+    # multi_adj_frame_id_cfg=(1,2,1) -> num_adj=1) + 1 extra stereo-ref
+    num_adj: int = 1
+    use_stereo: bool = True
+    # OcRF auxiliary rendering branch on/off (off = BEVDepth-style slice)
+    with_ocrf: bool = True
+    batch_size: int = 8
+    seed: int = 0
+    # compute dtype for conv towers ('bfloat16' or 'float32'); render &
+    # losses always run fp32 (reference force_fp32 decorators).
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def num_frames(self) -> int:
+        """Temporal frames incl. key frame (without the stereo extra)."""
+        return self.num_adj + 1
+
+    @property
+    def total_frames(self) -> int:
+        """Frames in img_inputs: key + adj + 1 stereo ref when stereo."""
+        return self.num_frames + (1 if self.use_stereo else 0)
+
+
+def ocrfdet_config(**overrides) -> OcRFDetConfig:
+    """The flagship 2-frame r50 256x704 config (ocrfdet.py)."""
+    return dataclasses.replace(OcRFDetConfig(), **overrides)
+
+
+def tiny_config(**overrides) -> OcRFDetConfig:
+    """CPU-runnable miniature: 2 cams, 64x176 images, 16x16 BEV.
+
+    Keeps every architectural feature live (stereo, OcRF, HOA) at toy
+    sizes so the full graph compiles in seconds on CPU for tests.
+    """
+    cfg = OcRFDetConfig(
+        grid=GridConfig(
+            x=(-51.2, 51.2, 6.4), y=(-51.2, 51.2, 6.4),
+            z=(-5.0, 3.0, 8.0), depth=(1.0, 33.0, 2.0),
+        ),
+        data=DataConfig(
+            cams=("CAM_FRONT", "CAM_BACK"), num_cams=2,
+            input_size=(64, 176), src_size=(900, 1600),
+        ),
+        backbone=BackboneConfig(depth=18, remat=False),
+        vt=ViewTransformerConfig(
+            in_channels=64, out_channels=16, downsample=16,
+            bev_h=16, bev_w=16, num_height=5,
+            depthnet=DepthNetConfig(mid_channels=32, aspp_mid_channels=16),
+            render_image_size=(64, 176),
+            renderer="xla",
+        ),
+        bev_encoder=BevEncoderConfig(neck_out_channels=64),
+        head=CenterHeadConfig(
+            in_channels=64, share_conv_channel=32, head_conv_channel=32,
+            max_objs=32, pre_max_size=64, post_max_size=16, max_num=32,
+        ),
+        batch_size=2,
+        compute_dtype="float32",
+    )
+    return dataclasses.replace(cfg, **overrides)
