@@ -1,0 +1,207 @@
+"""Camera-aware depth/semantic/context head (DepthNet).
+
+Re-implements the reference DepthNet (models/necks/view_transformer.py:
+464-625): a reduce conv, camera-parameter SE modulation (27-D MLP ->
+per-channel sigmoid gates) for both the context and depth towers, a
+stereo cost volume from the previous frame's stem features, three
+BasicBlocks + ASPP, and a final 1x1 producing D+2 depth/semantic logits;
+context channels are produced by a separate 1x1.
+
+The stereo cost volume (calculate_cost_volumn :568-596) warps the
+previous-frame stem feature along the D candidate depths via the
+key->sweep sensor homography and scores |curr - warp| summed over
+channels (the reference's group-size-4 loop is pure memory chunking;
+the math is a full channel sum). Out-of-view candidates get a +bias
+before the softmax over depth.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .resnet import BasicBlock, ConvBN
+from ..ops.grid_sample import grid_sample_2d
+
+Dtype = Any
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        return nn.Dense(self.out, dtype=self.dtype)(x)
+
+
+class SELayer(nn.Module):
+    """x * sigmoid(conv_expand(relu(conv_reduce(gate))))."""
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, gate):
+        g = nn.Dense(self.channels, dtype=self.dtype)(gate)
+        g = nn.relu(g)
+        g = nn.Dense(self.channels, dtype=self.dtype)(g)
+        return x * jax.nn.sigmoid(g)[:, None, None, :]
+
+
+class ASPP(nn.Module):
+    """Atrous spatial pyramid pooling (view_transformer.py:349-421):
+    dilations (1, 6, 12, 18) + global pooling branch, concat -> 1x1."""
+    mid_channels: int
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        branches = [
+            ConvBN(self.mid_channels, 1, dtype=self.dtype)(x, train),
+            ConvBN(self.mid_channels, 3, dilation=6, dtype=self.dtype)(x, train),
+            ConvBN(self.mid_channels, 3, dilation=12, dtype=self.dtype)(x, train),
+            ConvBN(self.mid_channels, 3, dilation=18, dtype=self.dtype)(x, train),
+        ]
+        gp = jnp.mean(x, axis=(1, 2), keepdims=True)
+        gp = nn.Conv(self.mid_channels, (1, 1), use_bias=False,
+                     dtype=self.dtype)(gp)
+        gp = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                          epsilon=1e-5, dtype=self.dtype)(gp)
+        gp = nn.relu(gp)
+        gp = jnp.broadcast_to(gp, x.shape[:3] + (self.mid_channels,))
+        y = jnp.concatenate(branches + [gp], axis=-1)
+        y = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                    dtype=self.dtype)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype)(y)
+        # the reference follows with Dropout(0.5); intentionally omitted
+        # (deterministic step; dropout on the depth tower is a known
+        # stability hazard and eval parity is unaffected).
+        return nn.relu(y)
+
+
+def stereo_cost_volume(curr_feat, prev_feat, cv_frustum, k2s_sensor, intrins,
+                       post_rots, post_trans, input_size, bias: float):
+    """Plane-sweep cost volume against the previous frame.
+
+    Args:
+      curr_feat / prev_feat: [B, N, Hc, Wc, C] stem features (stride 4).
+      cv_frustum: [D, Hc, Wc, 3] template (pixel x, pixel y, depth).
+      k2s_sensor: [B, N, 4, 4] key-sensor -> sweep-sensor transform.
+      intrins/post_rots: [B, N, 3, 3]; post_trans: [B, N, 3].
+      input_size: (H_in, W_in) raw input size for normalisation.
+      bias: additive penalty for candidates that fall outside the
+            previous view.
+    Returns cost [B, N, D, Hc, Wc] softmaxed over D.
+    """
+    B, N, Hc, Wc, C = curr_feat.shape
+    D = cv_frustum.shape[0]
+    Hi, Wi = input_size
+
+    # unproject the frustum into the key camera frame
+    pts = cv_frustum[None, None] - post_trans[:, :, None, None, None, :]
+    inv_post = jnp.linalg.inv(post_rots)
+    pts = jnp.einsum('bnij,bndhwj->bndhwi', inv_post, pts)
+    pts = jnp.concatenate([pts[..., :2] * pts[..., 2:3], pts[..., 2:3]], -1)
+    rots = k2s_sensor[..., :3, :3]
+    trans = k2s_sensor[..., :3, 3]
+    combine = rots @ jnp.linalg.inv(intrins)
+    pts = jnp.einsum('bnij,bndhwj->bndhwi', combine, pts)
+    pts = pts + trans[:, :, None, None, None, :]
+    behind = pts[..., 2] < 1e-3
+    # project into the sweep camera, re-apply the (shared) image aug
+    pix = jnp.einsum('bnij,bndhwj->bndhwi', intrins, pts)
+    pix = pix[..., :2] / pix[..., 2:3]
+    pix = jnp.einsum('bnij,bndhwj->bndhwi',
+                     post_rots[..., :2, :2], pix)
+    pix = pix + post_trans[..., None, None, None, :2]
+    gx = pix[..., 0] / (Wi - 1.0) * 2.0 - 1.0
+    gy = pix[..., 1] / (Hi - 1.0) * 2.0 - 1.0
+    gx = jnp.where(behind, -2.0, gx)
+    gy = jnp.where(behind, -2.0, gy)
+    grid = jnp.stack([gx, gy], axis=-1)          # [B,N,D,Hc,Wc,2]
+
+    def warp_one(prev_img, g):
+        return grid_sample_2d(prev_img, g, align_corners=True)
+
+    prev_flat = prev_feat.reshape(B * N, Hc, Wc, C)
+    grid_flat = grid.reshape(B * N, D, Hc, Wc, 2)
+    warped = jax.vmap(warp_one)(prev_flat, grid_flat)      # [BN,D,Hc,Wc,C]
+    warped = warped.reshape(B, N, D, Hc, Wc, C)
+
+    cost = jnp.sum(jnp.abs(curr_feat[:, :, None] - warped), axis=-1)
+    invalid = warped[..., 0] == 0.0
+    cost = jnp.where(invalid, cost + bias, cost)
+    return jax.nn.softmax(-cost, axis=2)
+
+
+class DepthNet(nn.Module):
+    mid_channels: int
+    context_channels: int
+    depth_channels: int        # D + 2 (depth bins + 2 semantic classes)
+    stereo: bool = True
+    use_aspp: bool = True
+    aspp_mid_channels: int = 96
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mlp_input, cost_volume=None, train: bool = False):
+        """x [BN, H, W, C_in]; mlp_input [BN, 27];
+        cost_volume [BN, H, W, D] (pre-softmaxed, stride-16) or None.
+        Returns [BN, H, W, depth_channels + context_channels].
+        """
+        mlp_input = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="mlp_bn")(mlp_input)
+        x = ConvBN(self.mid_channels, 3, dtype=self.dtype,
+                   name="reduce_conv")(x, train)
+
+        ctx_gate = Mlp(self.mid_channels, self.mid_channels,
+                       dtype=self.dtype, name="context_mlp")(mlp_input)
+        context = SELayer(self.mid_channels, dtype=self.dtype,
+                          name="context_se")(x, ctx_gate)
+        context = nn.Conv(self.context_channels, (1, 1), dtype=self.dtype,
+                          name="context_conv")(context)
+
+        d_gate = Mlp(self.mid_channels, self.mid_channels,
+                     dtype=self.dtype, name="depth_mlp")(mlp_input)
+        depth = SELayer(self.mid_channels, dtype=self.dtype,
+                        name="depth_se")(x, d_gate)
+
+        if self.stereo:
+            D = self.depth_channels - 2
+            if cost_volume is None:
+                # first frame has no previous features: zero volume at
+                # the stride-4 resolution (reference :605-612)
+                BN_, H, W, _ = x.shape
+                cost_volume = jnp.zeros((BN_, H * 4, W * 4, D),
+                                        dtype=x.dtype)
+            # cost_volumn_net: 2x (stride-2 conv3x3 + BN), D -> D,
+            # bringing the stride-4 volume onto the stride-16 grid.
+            cv = cost_volume
+            for k in range(2):
+                cv = nn.Conv(D, (3, 3), strides=(2, 2), padding=1,
+                             dtype=self.dtype, name=f"cv_conv{k}")(cv)
+                cv = nn.BatchNorm(use_running_average=not train,
+                                  momentum=0.9, epsilon=1e-5,
+                                  dtype=self.dtype, name=f"cv_bn{k}")(cv)
+            depth = jnp.concatenate([depth, cv], axis=-1)
+            # 1x1 downsample projection for the first BasicBlock residual
+        depth = BasicBlock(self.mid_channels, 1, dtype=self.dtype,
+                           name="depth_block0")(depth, train)
+        depth = BasicBlock(self.mid_channels, 1, dtype=self.dtype,
+                           name="depth_block1")(depth, train)
+        depth = BasicBlock(self.mid_channels, 1, dtype=self.dtype,
+                           name="depth_block2")(depth, train)
+        if self.use_aspp:
+            depth = ASPP(self.aspp_mid_channels, self.mid_channels,
+                         dtype=self.dtype, name="aspp")(depth, train)
+        depth = nn.Conv(self.depth_channels, (1, 1), dtype=self.dtype,
+                        name="depth_pred")(depth)
+        return jnp.concatenate([depth, context], axis=-1)
