@@ -272,6 +272,8 @@ def tiny_config(**overrides) -> OcRFDetConfig:
         head=CenterHeadConfig(
             in_channels=64, share_conv_channel=32, head_conv_channel=32,
             max_objs=32, pre_max_size=64, post_max_size=16, max_num=32,
+            # voxel * out_size_factor must equal the BEV cell (6.4m)
+            voxel_size=(0.8, 0.8),
         ),
         batch_size=2,
         compute_dtype="float32",
