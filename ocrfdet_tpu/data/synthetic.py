@@ -117,4 +117,13 @@ def make_batch(cfg: OcRFDetConfig, batch_size: int | None = None,
     batch["gt_labels"] = labels
     # per-sample random camera to render (OcRF branch)
     batch["render_cam"] = rng.integers(0, N, size=(B,)).astype(np.int32)
+    # 2D box mask on the rendered camera (random rectangles stand in
+    # for projected GT boxes) + warmup gate
+    bm = np.zeros((B, H, W), dtype=np.float32)
+    for b in range(B):
+        for _ in range(4):
+            x0, y0 = rng.integers(0, W // 2), rng.integers(0, H // 2)
+            bm[b, y0:y0 + H // 3, x0:x0 + W // 3] = 1.0
+    batch["render_box_mask"] = bm
+    batch["use_box_mask"] = np.asarray(0.0, dtype=np.float32)
     return batch

@@ -41,31 +41,23 @@ def projection_matrix_from_K(K, h: int, w: int, znear: float, zfar: float):
     planes, +z looking direction, depth mapped to [0, 1] z-range.
     K [..., 3, 3] -> P [..., 4, 4].
     """
-    fx = K[..., 0, 0]
-    fy = K[..., 1, 1]
-    cx = K[..., 0, 2]
-    cy = K[..., 1, 2]
-    near_fx = znear / fx
-    near_fy = znear / fy
-    left = -(w - cx) * near_fx
-    right = cx * near_fx
-    bottom = (cy - h) * near_fy
-    top = cy * near_fy
-    zeros = jnp.zeros_like(fx)
-    ones = jnp.ones_like(fx)
-    p00 = 2.0 * znear / (right - left)
-    p11 = 2.0 * znear / (top - bottom)
-    p02 = (right + left) / (right - left)
-    p12 = (top + bottom) / (top - bottom)
-    p22 = ones * zfar / (zfar - znear)
-    p23 = -ones * (zfar * znear) / (zfar - znear)
-    P = jnp.stack([
-        jnp.stack([p00, zeros, p02, zeros], -1),
-        jnp.stack([zeros, p11, p12, zeros], -1),
-        jnp.stack([zeros, zeros, p22, p23], -1),
-        jnp.stack([zeros, zeros, ones, zeros], -1),
-    ], axis=-2)
-    return P
+    # Derivation: continuous image coord u = (K @ p)_x / z lands on the
+    # integer pixel-index grid at u - 0.5 (pixel i's centre is i + 0.5
+    # in continuous coords). ndc_to_pixel(ndc, W) = ((ndc+1)W - 1)/2
+    # must equal u - 0.5, so ndc_x = 2u/W - 1 and row0 = 2*K_row0/W with
+    # the z column shifted by -1. Supports a full affine K (skew from
+    # folded rotation augmentation), which the reference's
+    # left/right/top/bottom construction cannot.
+    zeros = jnp.zeros_like(K[..., 0, 0])
+    ones = jnp.ones_like(zeros)
+    row0 = jnp.stack([2.0 * K[..., 0, 0] / w, 2.0 * K[..., 0, 1] / w,
+                      2.0 * K[..., 0, 2] / w - 1.0, zeros], -1)
+    row1 = jnp.stack([2.0 * K[..., 1, 0] / h, 2.0 * K[..., 1, 1] / h,
+                      2.0 * K[..., 1, 2] / h - 1.0, zeros], -1)
+    row2 = jnp.stack([zeros, zeros, ones * zfar / (zfar - znear),
+                      -ones * (zfar * znear) / (zfar - znear)], -1)
+    row3 = jnp.stack([zeros, zeros, ones, zeros], -1)
+    return jnp.stack([row0, row1, row2, row3], axis=-2)
 
 
 def splat_camera(c2w, K, image_size: Tuple[int, int],

@@ -1,0 +1,371 @@
+"""OcRF view transformer: dual-branch BEV + radiance-field rendering +
+height-aware opacity attention.
+
+TPU-native redesign of `OcRFViewTransformerFull`
+(models/necks/view_transformer_ocrf.py:576-1417). The reference runs a
+per-sample Python loop with host camera math and one CUDA rasterizer
+call per sample (:1086-1174); here the whole branch is one batched XLA
+computation: HT sampling is a dense gather-reduce, the splat renderer
+is the tiled XLA compositor (or Pallas kernel), and camera matrices are
+built in-graph.
+
+Documented intentional deviations from reference behaviour (we train
+from scratch; geometric consistency beats bug parity):
+  * Gaussian means are METRIC voxel centres in the (BDA-augmented)
+    key-ego frame and the render camera is the true W2C of the chosen
+    camera with augmentation folded into K — the reference feeds
+    normalised-[0,1] means to a metric camera whose translation is
+    taken from c2w (view_transformer_ocrf.py:1135-1153).
+  * The per-camera NeRF alpha maps are sampled at the correct
+    projected pixel positions; the reference's view() reinterprets the
+    [6,H,W] alpha stack with H/W swapped (:1123-1126).
+  * Voxel colours come from the full unnormalised image rather than
+    the 255-filled "retain_valid_pixels" scatter (:1004-1024) — strictly
+    more signal, no O(B*N*Z) host loop.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...config import GridConfig, ViewTransformerConfig
+from ...geometry import frustum as FR
+from ...geometry.cameras import splat_camera
+from ...ops.grid_sample import bilinear_sample
+from ...ops.splat import (preprocess_gaussians, quat_scale_to_cov3d,
+                          render_gaussians_dense, render_gaussians_tiled)
+from ..fpn import resize_bilinear
+from ..view_transformer import CameraParams, LSSViewTransformer
+from .deform_attn import DeformableAttention2D
+from .fusion import (BEVGeomAttention, DualFeatFusion,
+                     LearnedPositionalEncoding, OpacityMask, ProbNet)
+from .heads import (ColorMLP, LearnedBlend, MLP2, OpacityMLP, ResizeNetwork,
+                    RotationMLP, ScaleMLP)
+from .hoa import OpacityVoxelToBEV
+
+Dtype = Any
+
+
+class OcRFViewTransformer(nn.Module):
+    grid: GridConfig
+    cfg: ViewTransformerConfig
+    input_size: tuple
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        self.lss = LSSViewTransformer(
+            grid=self.grid, cfg=cfg, input_size=self.input_size,
+            semantic_channels=2, dtype=self.dtype, name="lss")
+        self.cv_frustum = jnp.asarray(FR.make_frustum(
+            self.grid.depth, self.input_size, cfg.depthnet.cv_downsample))
+        c = cfg.out_channels
+        # HT reference grid (normalised [0,1]^3), z extent from grid.z
+        z_extent = self.grid.z[1] - self.grid.z[0]
+        self.ref_points = jnp.asarray(FR.ht_reference_points(
+            cfg.bev_h, cfg.bev_w, cfg.num_height, z_pillar=z_extent))
+        # fusion / mask stack
+        self.fuser = DualFeatFusion(c, dtype=self.dtype, name="fuser")
+        self.prob = ProbNet(c, dtype=self.dtype, name="prob")
+        self.geom_att = BEVGeomAttention(dtype=self.dtype, name="geom_att")
+        self.opacity_gate = OpacityMask(dtype=self.dtype,
+                                        name="opacity_gate")
+        self.pos_enc = LearnedPositionalEncoding(
+            c // 2, cfg.bev_h, cfg.bev_w, dtype=self.dtype, name="pos_enc")
+        self.pos_enc_hoa = LearnedPositionalEncoding(
+            2, cfg.bev_h, cfg.bev_w, dtype=self.dtype, name="pos_enc_hoa")
+        # voxel lift: per-height scalar affine + BN (the reference's
+        # Conv3d(1->13, k=1) + BN3d + ReLU, :520-531)
+        self.height_w = self.param(
+            "height_w", nn.initializers.normal(1.0), (cfg.num_height,))
+        self.height_b = self.param(
+            "height_b", nn.initializers.zeros_init(), (cfg.num_height,))
+        # BN over the height axis (the reference's BatchNorm3d treats
+        # the 13 lifted heights as channels)
+        self.height_bn = nn.BatchNorm(momentum=0.9, axis=1,
+                                      dtype=self.dtype, name="height_bn")
+        # gaussian parameter heads
+        self.s_mlp = ScaleMLP(dtype=self.dtype, name="S_MLP")
+        self.r_mlp = RotationMLP(dtype=self.dtype, name="R_MLP")
+        self.a_mlp = OpacityMLP(dtype=self.dtype, name="A_MLP")
+        self.c_mlp = ColorMLP(dtype=self.dtype, name="C_MLP")
+        # nerf branch
+        self.image_feat_resize = ResizeNetwork(c, dtype=self.dtype,
+                                               name="image_feat_resize")
+        self.sigma_mlp = MLP2(4, 1, dtype=self.dtype, name="sigma")
+        self.c_mlp_nerf = MLP2(4, 3, dtype=self.dtype, name="C_MLP_nerf")
+        self.d_mlp_nerf = MLP2(4, 1, dtype=self.dtype, name="D_MLP_nerf")
+        self.feat_resize1 = MLP2(4, 3, dtype=self.dtype,
+                                 name="img_feat_resize1")
+        self.feat_resize2 = MLP2(4, 1, dtype=self.dtype,
+                                 name="img_feat_resize2")
+        self.blend_img = LearnedBlend(dtype=self.dtype, name="blend_img")
+        self.blend_depth = LearnedBlend(dtype=self.dtype,
+                                        name="blend_depth")
+        # HOA
+        self.deform_attn = DeformableAttention2D(
+            dim=cfg.num_height, dim_head=8, heads=1, downsample_factor=4,
+            offset_scale=4.0, offset_kernel_size=6, dtype=self.dtype,
+            name="defor_cross_attention")
+        self.opacity_to_bev = OpacityVoxelToBEV(dtype=self.dtype,
+                                                name="OpacityVoxelToBEV")
+        # metric voxel centres (gaussian means), [Zh*Nq, 3]
+        pc = np.asarray(self.grid.pc_range)
+        ref = np.asarray(FR.ht_reference_points(
+            cfg.bev_h, cfg.bev_w, cfg.num_height, z_pillar=z_extent))
+        self.gauss_means = jnp.asarray(
+            (ref * (pc[3:6] - pc[0:3]) + pc[0:3]).reshape(-1, 3))
+
+    # ------------------------------------------------------------------
+    def ht_pool(self, depth, context, cams: CameraParams):
+        """Height-trick branch: project 13 points per BEV pillar into
+        all cameras, gather depth-weighted context at the nearest
+        feature pixel/bin, sum over (camera, height).
+
+        depth [B,N,h,w,D]; context [B,N,h,w,C].
+        Returns (ht_feat [B,Y,X,C], uvd [B,N,Z,Nq,3], valid).
+        """
+        cfg = self.cfg
+        B, N, h, w, D = depth.shape
+        C = context.shape[-1]
+        Zh = cfg.num_height
+        Nq = cfg.bev_h * cfg.bev_w
+        l2i, aug = FR.ego_to_image(
+            cams.rots, cams.trans, cams.intrins, cams.post_rots,
+            cams.post_trans, cams.bda)
+        uvd, valid = FR.project_points(
+            self.ref_points, self.grid.pc_range,
+            (self.grid.depth[0], self.grid.depth[1]), l2i, aug,
+            self.input_size)
+        # nearest feature pixel / depth bin (reference round + clamp,
+        # fast_sample_prepare :785-852)
+        ui = jnp.clip(jnp.round(uvd[..., 0] * w).astype(jnp.int32), 0, w - 1)
+        vi = jnp.clip(jnp.round(uvd[..., 1] * h).astype(jnp.int32), 0, h - 1)
+        di = jnp.clip(jnp.round(uvd[..., 2] * D).astype(jnp.int32), 0, D - 1)
+
+        ctx_flat = context.reshape(B, N, h * w, C)
+        dep_flat = depth.reshape(B, N, h * w, D)
+
+        def step(acc, nz):
+            n, z = nz // Zh, nz % Zh
+            pix = vi[:, n, z] * w + ui[:, n, z]          # [B, Nq]
+            dbin = di[:, n, z]
+            wgt = jnp.take_along_axis(
+                jnp.take_along_axis(
+                    dep_flat[:, n], pix[..., None], axis=1),
+                dbin[..., None], axis=2)[..., 0]          # [B, Nq]
+            feat = jnp.take_along_axis(
+                ctx_flat[:, n], pix[..., None], axis=1)   # [B, Nq, C]
+            wgt = wgt * valid[:, n, z].astype(wgt.dtype)
+            return acc + feat * wgt[..., None], None
+
+        acc0 = jnp.zeros((B, Nq, C), dtype=context.dtype)
+        acc, _ = jax.lax.scan(step, acc0, jnp.arange(N * Zh))
+        ht = acc.reshape(B, cfg.bev_h, cfg.bev_w, C)
+        return ht, uvd, valid
+
+    # ------------------------------------------------------------------
+    def sample_at_voxels(self, images, uvd, valid):
+        """Sample per-camera full-res maps at projected voxel points and
+        average over visible cameras.
+
+        images [B, N, H, W, C]; uvd/valid from ht_pool.
+        Returns [B, Z, Nq, C] masked mean over cameras.
+        """
+        H, W = images.shape[2], images.shape[3]
+        px = uvd[..., 0] * W
+        py = uvd[..., 1] * H
+
+        def one_cam(img, x, y):
+            return bilinear_sample(img, x, y)             # [...]
+
+        vals = jax.vmap(jax.vmap(one_cam))(images, px, py)  # [B,N,Z,Nq,C]
+        vmask = valid[..., None].astype(vals.dtype)
+        s = jnp.sum(vals * vmask, axis=1)
+        cnt = jnp.maximum(jnp.sum(vmask, axis=1), 1.0)
+        return s / cnt
+
+    # ------------------------------------------------------------------
+    def nerf_full_feat(self, fpn_feat):
+        """ResizeNetwork to full image resolution: [B, h, w, Cin] ->
+        [B, H, W, out_channels]."""
+        return self.image_feat_resize(fpn_feat)
+
+    def nerf_alpha(self, full_feat):
+        sigma = nn.softplus(self.sigma_mlp(full_feat))
+        return 1.0 - jnp.exp(-sigma)
+
+    # ------------------------------------------------------------------
+    def __call__(self, x, cams: CameraParams, mlp_input, batch,
+                 cost_volume=None, is_key: bool = False,
+                 train: bool = False):
+        cfg = self.cfg
+        B, N = x.shape[:2]
+        Zh = cfg.num_height
+        Nq = cfg.bev_h * cfg.bev_w
+        depth, semantic, context = self.lss(
+            x, cams, mlp_input, cost_volume=cost_volume, train=train)
+        # thresholds (reference forward :1325-1331)
+        thr = cfg.depth_threshold / self.lss.D
+        f_depth = jnp.where(depth < thr, 0.0, depth).astype(context.dtype)
+        img_mask = (semantic[..., 1:2] >= cfg.semantic_threshold)
+        f_context = context * img_mask.astype(context.dtype)
+
+        lss_feat = self.lss.splat(f_depth, f_context, cams)
+        ht_feat, uvd, valid = self.ht_pool(f_depth, f_context, cams)
+
+        # voxel lift: [B, Y, X, C] -> per-height features [B,Zh,Nq,C]
+        vf = (ht_feat.reshape(B, 1, Nq, -1)
+              * self.height_w[None, :, None, None]
+              + self.height_b[None, :, None, None])
+        vf = self.height_bn(vf, use_running_average=not train)
+        voxel_feat = nn.relu(vf)                       # [B, Zh, Nq, C]
+
+        opacity = self.a_mlp(voxel_feat)[..., 0]       # [B, Zh, Nq]
+
+        # per-camera NeRF alphas. Static Python loop (NOT lax.scan: flax
+        # params may not be created inside control-flow bodies); each
+        # iteration's [B, H, W, C] full-res feature is transient.
+        alphas = jnp.stack(
+            [self.nerf_alpha(self.nerf_full_feat(x[:, n]))[..., 0]
+             for n in range(N)], axis=1)               # [B, N, H, W]
+
+        # alpha back-projected to voxels (correct sampling; see header)
+        alpha_lidar = self.sample_at_voxels(
+            alphas[..., None].astype(jnp.float32), uvd, valid)[..., 0]
+        alpha_vox = alpha_lidar.reshape(B, Zh, cfg.bev_h, cfg.bev_w)
+        opac_vox = opacity.reshape(B, Zh, cfg.bev_h, cfg.bev_w)
+
+        # HOA: deformable cross-attention at 1/6 scale, residual add
+        # (floor 8 keeps the stride-4 offset conv valid on tiny grids)
+        ds_hw = (max(cfg.bev_h // 6, 8), max(cfg.bev_w // 6, 8))
+        op_ch = jnp.moveaxis(opac_vox, 1, -1)          # [B, Y, X, Zh]
+        al_ch = jnp.moveaxis(alpha_vox, 1, -1)
+        op_ds = resize_bilinear(op_ch, ds_hw, align_corners=True)
+        al_ds = resize_bilinear(al_ch, ds_hw, align_corners=True)
+        att = self.deform_attn(op_ds.astype(self.dtype),
+                               al_ds.astype(self.dtype), train=train)
+        att_up = resize_bilinear(att, (cfg.bev_h, cfg.bev_w),
+                                 align_corners=True)
+        opacity_alpha = att_up + op_ch                 # [B, Y, X, Zh]
+
+        pos_hoa = self.pos_enc_hoa(B)
+        opacity_bev_logit = self.opacity_to_bev(
+            opacity_alpha.astype(self.dtype), pos_hoa, train)  # [B,Y,X,1]
+
+        # fusion + mask + gates (reference :1183-1199)
+        channel_feat = self.fuser(lss_feat, ht_feat, train)
+        bev_pos = self.pos_enc(B)
+        bev_mask_logit = self.prob(bev_pos + channel_feat, train)
+        geom_feat = self.geom_att(channel_feat, bev_mask_logit) \
+            * channel_feat
+        op_mask = self.opacity_gate(geom_feat, opacity_bev_logit)
+        geom_feat = geom_feat * op_mask
+
+        aux: Dict[str, jnp.ndarray] = dict(
+            depth=depth, semantic=semantic,
+            bev_mask_logit=bev_mask_logit,
+            opacity_bev_logit=opacity_bev_logit,
+        )
+
+        if is_key and train:
+            aux.update(self.render_branch(
+                x, cams, batch, voxel_feat, opacity, uvd, valid, alphas))
+        return geom_feat, aux
+
+    # ------------------------------------------------------------------
+    def render_branch(self, x, cams: CameraParams, batch, voxel_feat,
+                      opacity, uvd, valid, alphas):
+        """Training-only rendering of one random camera per sample."""
+        cfg = self.cfg
+        B, N = x.shape[:2]
+        Zh = cfg.num_height
+        Nq = cfg.bev_h * cfg.bev_w
+        H, W = cfg.render_image_size
+        cam_idx = batch["render_cam"]                   # [B]
+
+        # voxel colours from unnormalised images (masked mean over cams)
+        imgs_rgb = batch["imgs_wo_norm"].astype(jnp.float32) / 255.0
+        vox_rgb = self.sample_at_voxels(imgs_rgb, uvd, valid)  # [B,Z,Nq,3]
+
+        # gaussian parameters
+        g_in = voxel_feat.reshape(B, Zh * Nq, -1)
+        scaling = self.s_mlp(g_in)
+        rotation = self.r_mlp(g_in)
+        color = self.c_mlp(jnp.concatenate(
+            [g_in, vox_rgb.reshape(B, Zh * Nq, 3).astype(g_in.dtype)], -1))
+        opac = opacity.reshape(B, Zh * Nq)
+
+        # chosen camera per sample
+        def take_cam(arr):
+            return jnp.take_along_axis(
+                arr, cam_idx.reshape(B, *([1] * (arr.ndim - 1))), axis=1
+            )[:, 0]
+        rot_c = take_cam(cams.rots)                    # [B,3,3]
+        tran_c = take_cam(cams.trans)
+        K_c = take_cam(cams.intrins)
+        pr_c = take_cam(cams.post_rots)
+        pt_c = take_cam(cams.post_trans)
+        gt_img = take_cam(imgs_rgb)                    # [B,H,W,3]
+
+        # camera pose in the BDA ego frame; aug folded into K
+        c2e = jnp.zeros((B, 4, 4))
+        c2e = c2e.at[:, :3, :3].set(
+            jnp.einsum('bij,bjk->bik', cams.bda, rot_c))
+        c2e = c2e.at[:, :3, 3].set(
+            jnp.einsum('bij,bj->bi', cams.bda, tran_c))
+        c2e = c2e.at[:, 3, 3].set(1.0)
+        P = jnp.concatenate([pr_c[:, :2, :2], pt_c[:, :2, None]], -1)
+        P3 = jnp.concatenate(
+            [P, jnp.broadcast_to(jnp.asarray([[0.0, 0.0, 1.0]]),
+                                 (B, 1, 3))], axis=1)
+        K_aug = jnp.einsum('bij,bjk->bik', P3, K_c)
+        sc = splat_camera(c2e, K_aug, (H, W), znear=cfg.znear,
+                          zfar=cfg.zfar)
+
+        cov3d = quat_scale_to_cov3d(
+            rotation.astype(jnp.float32), scaling.astype(jnp.float32))
+
+        def render_one(cam_one, color_b, opac_b, cov_b):
+            g = preprocess_gaussians(self.gauss_means, cov_b, cam_one)
+            if cfg.renderer == "dense":
+                img, dep = render_gaussians_dense(
+                    g, color_b.astype(jnp.float32),
+                    opac_b.astype(jnp.float32), H, W)
+                return img, dep
+            img, dep, _ = render_gaussians_tiled(
+                g, color_b.astype(jnp.float32),
+                opac_b.astype(jnp.float32), H, W)
+            return img, dep
+
+        cam_axes = type(sc)(w2c=0, proj=0, cam_center=0, tan_fovx=0,
+                            tan_fovy=0, height=None, width=None)
+        img_g, dep_g = jax.vmap(render_one,
+                                in_axes=(cam_axes, 0, 0, 0))(
+            sc, color, opac, cov3d)
+
+        # NeRF render of the chosen camera
+        fpn_c = take_cam(x)                            # [B,h,w,Cin]
+        full = self.nerf_full_feat(fpn_c)              # [B,H,W,c]
+        alpha_c = take_cam(alphas)[..., None].astype(full.dtype)
+        fc_in = jnp.concatenate([full, gt_img.astype(full.dtype)], -1)
+        cw = jax.nn.softmax(self.c_mlp_nerf(fc_in), axis=-1)
+        radiance = nn.relu(self.feat_resize1(fc_in)) * cw
+        dw = jax.nn.softmax(self.d_mlp_nerf(fc_in), axis=-1)
+        radiance_d = nn.relu(self.feat_resize2(fc_in)) * dw
+        img_n = (alpha_c * radiance).astype(jnp.float32)
+        dep_n = (alpha_c * radiance_d)[..., 0].astype(jnp.float32)
+
+        img_ng = self.blend_img(img_g, img_n)
+        dep_ng = self.blend_depth(dep_g, dep_n)
+
+        gt_depth_c = take_cam(batch["gt_depth"])       # [B,H,W]
+        return dict(
+            render_img=img_ng, render_img_g=img_g, render_img_n=img_n,
+            render_depth=dep_ng, render_depth_g=dep_g, render_depth_n=dep_n,
+            render_gt_img=gt_img, render_gt_depth=gt_depth_c,
+        )

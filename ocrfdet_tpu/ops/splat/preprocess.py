@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ...geometry.cameras import SplatCamera, ndc_to_pixel
@@ -27,7 +28,8 @@ class Gaussians2D(NamedTuple):
 
 def quat_scale_to_cov3d(quat, scale):
     """[G,4] (w,x,y,z, any norm) + [G,3] scales -> [G,3,3] covariance."""
-    q = quat / jnp.linalg.norm(quat, axis=-1, keepdims=True).clip(1e-8)
+    q = quat * jax.lax.rsqrt(
+        jnp.sum(quat * quat, axis=-1, keepdims=True) + 1e-12)
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     R = jnp.stack([
         jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
