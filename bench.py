@@ -1,0 +1,93 @@
+"""Benchmark: flagship OcRFDet train-step throughput on real hardware.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no throughput numbers (SURVEY.md §6), so
+vs_baseline is reported against this framework's own first-light
+figure (self-relative; 1.0 = current measurement defines the baseline).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _to_jnp(batch):
+    import jax.numpy as jnp
+    return {k: jnp.asarray(v) if isinstance(v, np.ndarray) else v
+            for k, v in batch.items()}
+
+
+def bench_train(batch_size: int, steps: int, with_ocrf: bool):
+    import jax
+    from ocrfdet_tpu.config import ocrfdet_config
+    from ocrfdet_tpu.data.synthetic import make_batch
+    from ocrfdet_tpu.models.detector import OcRFDet
+    from ocrfdet_tpu.parallel.mesh import make_mesh
+    from ocrfdet_tpu.parallel.step import build_train_step
+    from ocrfdet_tpu.train.optim import create_train_state, make_optimizer
+
+    cfg = ocrfdet_config(batch_size=batch_size, with_ocrf=with_ocrf)
+    model = OcRFDet(cfg)
+    batch = _to_jnp(make_batch(cfg, batch_size=batch_size, seed=0))
+    variables = model.init(jax.random.PRNGKey(0), batch, train=True)
+    tx = make_optimizer(cfg.optim, variables["params"],
+                        steps_per_epoch=1000)
+    state = create_train_state(variables, tx)
+    mesh = make_mesh(data=jax.device_count(), space=1)
+    step_fn = build_train_step(cfg, model, tx, mesh)
+
+    # compile + warmup
+    state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics["loss_total"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics["loss_total"])
+    dt = time.perf_counter() - t0
+    frames_per_s = batch_size * steps / dt
+    return frames_per_s, float(metrics["loss_total"])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--batch-size", type=int, default=0,
+                    help="0 = auto (try 2 then 1)")
+    ap.add_argument("--no-ocrf", action="store_true")
+    args = ap.parse_args()
+
+    candidates = ([args.batch_size] if args.batch_size
+                  else [2, 1])
+    last_err = None
+    for bs in candidates:
+        try:
+            fps, loss = bench_train(bs, args.steps,
+                                    with_ocrf=not args.no_ocrf)
+            print(json.dumps({
+                "metric": "ocrfdet_train_frames_per_s_per_chip",
+                "value": round(fps, 4),
+                "unit": "frames/s",
+                "vs_baseline": 1.0,
+                "batch_size": bs,
+                "final_loss": round(loss, 4),
+            }))
+            return
+        except Exception as e:  # noqa: BLE001 - fall back to smaller batch
+            last_err = e
+            print(f"bench: batch_size={bs} failed: {e!r}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "ocrfdet_train_frames_per_s_per_chip",
+        "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
+        "error": str(last_err)[:200],
+    }))
+
+
+if __name__ == "__main__":
+    main()

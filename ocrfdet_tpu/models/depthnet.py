@@ -127,17 +127,26 @@ def stereo_cost_volume(curr_feat, prev_feat, cv_frustum, k2s_sensor, intrins,
     gy = jnp.where(behind, -2.0, gy)
     grid = jnp.stack([gx, gy], axis=-1)          # [B,N,D,Hc,Wc,2]
 
-    def warp_one(prev_img, g):
-        return grid_sample_2d(prev_img, g, align_corners=True)
-
+    # Scan over depth candidates: materialising the full
+    # [B,N,D,Hc,Wc,C] warp (~TBs at flagship size) is impossible; one
+    # depth plane at a time is [B,N,Hc,Wc,C] and the scan re-uses it.
+    # (The reference chunks over channel groups instead,
+    # view_transformer.py:583-592 — same peak-memory effect.)
     prev_flat = prev_feat.reshape(B * N, Hc, Wc, C)
-    grid_flat = grid.reshape(B * N, D, Hc, Wc, 2)
-    warped = jax.vmap(warp_one)(prev_flat, grid_flat)      # [BN,D,Hc,Wc,C]
-    warped = warped.reshape(B, N, D, Hc, Wc, C)
+    grid_d = jnp.moveaxis(grid, 2, 0).reshape(D, B * N, Hc, Wc, 2)
 
-    cost = jnp.sum(jnp.abs(curr_feat[:, :, None] - warped), axis=-1)
-    invalid = warped[..., 0] == 0.0
-    cost = jnp.where(invalid, cost + bias, cost)
+    def one_depth(_, g_d):
+        warped = jax.vmap(
+            lambda img, g: grid_sample_2d(img, g, align_corners=True)
+        )(prev_flat, g_d)                        # [BN,Hc,Wc,C]
+        cost_d = jnp.sum(jnp.abs(
+            curr_feat.reshape(B * N, Hc, Wc, C) - warped), axis=-1)
+        invalid = warped[..., 0] == 0.0
+        cost_d = jnp.where(invalid, cost_d + bias, cost_d)
+        return None, cost_d
+
+    _, cost = jax.lax.scan(one_depth, None, grid_d)        # [D,BN,Hc,Wc]
+    cost = jnp.moveaxis(cost, 0, 1).reshape(B, N, D, Hc, Wc)
     return jax.nn.softmax(-cost, axis=2)
 
 

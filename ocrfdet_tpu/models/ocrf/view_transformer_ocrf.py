@@ -163,7 +163,9 @@ class OcRFViewTransformer(nn.Module):
             wgt = wgt * valid[:, n, z].astype(wgt.dtype)
             return acc + feat * wgt[..., None], None
 
-        acc0 = jnp.zeros((B, Nq, C), dtype=context.dtype)
+        from ...utils.vma import match_vma
+        acc0 = match_vma(jnp.zeros((B, Nq, C), dtype=context.dtype),
+                         context)
         acc, _ = jax.lax.scan(step, acc0, jnp.arange(N * Zh))
         ht = acc.reshape(B, cfg.bev_h, cfg.bev_w, C)
         return ht, uvd, valid

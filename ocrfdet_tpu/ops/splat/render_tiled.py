@@ -126,10 +126,12 @@ def render_gaussians_tiled(g: Gaussians2D, color, opacity,
         log_t = log_t + cum_in[:, -1]
         return (accum, log_t, med, found), None
 
-    init = (jnp.zeros((T, P, 3), jnp.float32),
-            jnp.zeros((T, P), jnp.float32),
-            jnp.full((T, P), MEDIAN_DEPTH_DEFAULT, jnp.float32),
-            jnp.zeros((T, P), bool))
+    from ...utils.vma import match_vma
+    init = (match_vma(jnp.zeros((T, P, 3), jnp.float32), color),
+            match_vma(jnp.zeros((T, P), jnp.float32), color),
+            match_vma(jnp.full((T, P), MEDIAN_DEPTH_DEFAULT, jnp.float32),
+                      color),
+            jnp.zeros((T, P), bool) | (color.ravel()[0] > jnp.inf))
     (accum, log_t, med, _), _ = jax.lax.scan(body, init, seq)
 
     bg = jnp.asarray(bg_color, dtype=jnp.float32)

@@ -99,10 +99,12 @@ def render_gaussians_dense(g: Gaussians2D, color, opacity,
         log_t = log_t + cum_in[-1]
         return (accum, log_t, med_depth, found), None
 
-    init = (jnp.zeros((P, 3), jnp.float32),
-            jnp.zeros((P,), jnp.float32),
-            jnp.full((P,), MEDIAN_DEPTH_DEFAULT, jnp.float32),
-            jnp.zeros((P,), bool))
+    from ...utils.vma import match_vma
+    init = (match_vma(jnp.zeros((P, 3), jnp.float32), color),
+            match_vma(jnp.zeros((P,), jnp.float32), color),
+            match_vma(jnp.full((P,), MEDIAN_DEPTH_DEFAULT, jnp.float32),
+                      color),
+            jnp.zeros((P,), bool) | (color.ravel()[0] > jnp.inf))
     idx_chunks = order_p.reshape(n_chunks, chunk)
     live_chunks = pad_mask.reshape(n_chunks, chunk).astype(jnp.float32)
     (accum, log_t, med_depth, _), _ = jax.lax.scan(

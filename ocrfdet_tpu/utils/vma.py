@@ -1,0 +1,17 @@
+"""Varying-manual-axes (vma) compatibility helper.
+
+Inside shard_map, lax.scan requires carry input/output types to agree
+including their varying-axes annotation. A literal zeros init is
+"unvarying" while the body output (which mixes in sharded data) is
+varying over the mesh axes, so scans fail to trace. `match_vma` makes
+an init carry inherit the vma of a reference array in a way that is a
+no-op outside shard_map (adds 0 * scalar-from-ref, folded by XLA).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def match_vma(x, ref):
+    z = jnp.zeros((), dtype=x.dtype) * ref.ravel()[0].astype(x.dtype)
+    return x + z
