@@ -1,0 +1,89 @@
+import numpy as np
+
+from ocrfdet_tpu.core.eval_metrics import DetectionEvaluator
+from ocrfdet_tpu.config import CLASS_NAMES
+
+
+def _box(x, y, yaw=0.0, dims=(4, 2, 1.5), vel=(0, 0), z=0.0):
+    return np.array([x, y, z, *dims, yaw, *vel], dtype=np.float64)
+
+
+def test_perfect_detections():
+    ev = DetectionEvaluator(CLASS_NAMES)
+    for s in range(3):
+        gts = np.stack([_box(10 + s, 0), _box(-5, 8 + s)])
+        ev.add_sample(gts.copy(), np.array([0.9, 0.8]),
+                      np.array([0, 0]), gts, np.array([0, 0]))
+    m = ev.evaluate()
+    assert m["mAP"] > 0.95
+    assert m["mATE"] < 1e-6
+    assert m["mASE"] < 1e-6
+    assert m["mAOE"] < 1e-6
+    assert m["mAVE"] < 1e-6
+    # NDS with mAAE=1 convention: (5*1 + 4*1 + 0)/10
+    np.testing.assert_allclose(m["NDS"], 0.9, atol=0.03)
+
+
+def test_no_detections():
+    ev = DetectionEvaluator(CLASS_NAMES)
+    gts = np.stack([_box(10, 0)])
+    ev.add_sample(np.zeros((0, 9)), np.zeros(0), np.zeros(0, np.int64),
+                  gts, np.array([0]))
+    m = ev.evaluate()
+    assert m["mAP"] == 0.0
+
+
+def test_displaced_detection_threshold_sensitivity():
+    """A 1.5m-offset detection counts at d in {2,4} but not {0.5,1}."""
+    ev = DetectionEvaluator(CLASS_NAMES)
+    gt = np.stack([_box(10, 0)])
+    det = np.stack([_box(11.5, 0)])
+    ev.add_sample(det, np.array([0.9]), np.array([0]), gt, np.array([0]))
+    m = ev.evaluate()
+    # AP averaged over 4 thresholds: ~1 for 2 of them
+    assert 0.3 < m["per_class_ap"]["car"] < 0.7
+
+
+def test_false_positives_reduce_ap():
+    ev_clean = DetectionEvaluator(CLASS_NAMES)
+    ev_noisy = DetectionEvaluator(CLASS_NAMES)
+    gt = np.stack([_box(10, 0)])
+    det = np.stack([_box(10, 0)])
+    fp = np.stack([_box(10, 0), _box(30, 30), _box(-30, 30)])
+    ev_clean.add_sample(det, np.array([0.9]), np.array([0]),
+                        gt, np.array([0]))
+    ev_noisy.add_sample(fp, np.array([0.9, 0.95, 0.85]),
+                        np.array([0, 0, 0]), gt, np.array([0]))
+    assert (ev_noisy.evaluate()["mAP"] < ev_clean.evaluate()["mAP"])
+
+
+def test_orientation_error_period():
+    ev = DetectionEvaluator(CLASS_NAMES)
+    gt = np.stack([_box(10, 0, yaw=0.0)])
+    det = np.stack([_box(10, 0, yaw=np.pi - 0.1)])
+    ev.add_sample(det, np.array([0.9]), np.array([0]), gt, np.array([0]))
+    m = ev.evaluate()
+    np.testing.assert_allclose(m["mAOE"], np.pi - 0.1, atol=1e-6)
+    # barrier class uses period pi: same offset is only 0.1
+    ev2 = DetectionEvaluator(CLASS_NAMES)
+    ev2.add_sample(det, np.array([0.9]), np.array([5]), gt, np.array([5]))
+    np.testing.assert_allclose(ev2.evaluate()["mAOE"], 0.1, atol=1e-6)
+
+
+def test_nusc_format_roundtrip(tmp_path):
+    from ocrfdet_tpu.core.nusc_format import (boxes_to_nusc_sample,
+                                              write_results_json)
+    import json
+    boxes = np.stack([_box(10, 5, yaw=0.3, vel=(3, 0))])
+    pose = dict(ego2global_rotation=[1, 0, 0, 0],
+                ego2global_translation=[100.0, 200.0, 0.0])
+    res = boxes_to_nusc_sample(boxes, np.array([0.7]), np.array([0]),
+                               CLASS_NAMES, pose)
+    assert res[0]["detection_name"] == "car"
+    np.testing.assert_allclose(res[0]["translation"][:2], [110.0, 205.0])
+    assert res[0]["attribute_name"] == "vehicle.moving"
+    p = tmp_path / "res.json"
+    write_results_json({"tok0": res}, str(p))
+    loaded = json.loads(p.read_text())
+    assert loaded["meta"]["use_camera"]
+    assert "tok0" in loaded["results"]
