@@ -32,10 +32,11 @@ def bench_train(batch_size: int, steps: int, with_ocrf: bool):
     from ocrfdet_tpu.parallel.step import build_train_step
     from ocrfdet_tpu.train.optim import create_train_state, make_optimizer
 
+    from ocrfdet_tpu.utils.fast_init import fast_init
+
     cfg = ocrfdet_config(batch_size=batch_size, with_ocrf=with_ocrf)
-    model = OcRFDet(cfg)
     batch = _to_jnp(make_batch(cfg, batch_size=batch_size, seed=0))
-    variables = model.init(jax.random.PRNGKey(0), batch, train=True)
+    variables, model = fast_init(cfg, OcRFDet, train=True)
     tx = make_optimizer(cfg.optim, variables["params"],
                         steps_per_epoch=1000)
     state = create_train_state(variables, tx)

@@ -178,6 +178,18 @@ class CenterHeadConfig:
 
 
 @dataclass(frozen=True)
+class VGGTTeacherConfig:
+    """Frozen VGGT Aggregator teacher for GeoEnhDet (reference
+    detectors/bevdet_vggt.py:81-98; flagship = VGGT-1B)."""
+    image_size: Tuple[int, int] = (294, 518)   # -> 21x37 patch grid
+    patch_size: int = 14
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    ckpt_path: Optional[str] = None            # torch model.pt if present
+
+
+@dataclass(frozen=True)
 class OptimConfig:
     """AdamW + schedule + EMA (reference config:256-337)."""
     lr: float = 2e-4
@@ -223,6 +235,8 @@ class OcRFDetConfig:
     use_stereo: bool = True
     # OcRF auxiliary rendering branch on/off (off = BEVDepth-style slice)
     with_ocrf: bool = True
+    # VGGT distillation teacher (GeoEnhDet); None = plain OcRFDet
+    vggt_teacher: Optional[VGGTTeacherConfig] = None
     batch_size: int = 8
     seed: int = 0
     # compute dtype for conv towers ('bfloat16' or 'float32'); render &

@@ -126,4 +126,11 @@ def make_batch(cfg: OcRFDetConfig, batch_size: int | None = None,
             bm[b, y0:y0 + H // 3, x0:x0 + W // 3] = 1.0
     batch["render_box_mask"] = bm
     batch["use_box_mask"] = np.asarray(0.0, dtype=np.float32)
+    # adjacent camera pair for VGGT distillation (reference
+    # get_pair_indices: i2 = rig neighbour with front/back special case)
+    i1 = rng.integers(0, N, size=(B,))
+    i2 = (i1 + 1) % N
+    if N == 6:
+        i2 = np.where(i1 == 5, 3, np.where(i1 == 3, 5, i2))
+    batch["kd_pair"] = np.stack([i1, i2], -1).astype(np.int32)
     return batch

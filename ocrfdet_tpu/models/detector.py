@@ -154,6 +154,8 @@ class OcRFDet(nn.Module):
             bev = self.pre_process_net(bev, train=train)[0]
             if is_key:
                 key_aux = aux
+                # stashed for subclass heads (GeoEnhDet distillation)
+                key_aux["fpn_key"] = fpn
             else:
                 bev = jax.lax.stop_gradient(bev)
                 bev = bev * batch["with_prev"].astype(bev.dtype)

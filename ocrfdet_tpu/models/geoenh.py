@@ -1,0 +1,146 @@
+"""GeoEnhDet: OcRFDet + VGGT geometry distillation.
+
+Re-implements the reference OcRFDet4DVGGT (detectors/ocrfdet_vggt.py +
+bevdet_vggt.py): a frozen VGGT Aggregator teacher consumes a random
+adjacent camera pair of the key frame (resized to the ViT patch grid);
+the student's FPN features are aligned to the teacher token space with
+multi-head cross-attention; group-wise-correlation cost volumes over
+the pair are built for both and matched with SmoothL1 + cosine KD
+losses (key frame, teacher under stop_gradient).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import OcRFDetConfig
+from .detector import OcRFDet
+from .fpn import resize_bilinear
+from .vggt import Aggregator
+
+Dtype = Any
+
+
+class CrossAttentionAlign(nn.Module):
+    """Student feature -> teacher token space (bevdet_vggt.py:16-49)."""
+    vit_dim: int = 2048
+    num_heads: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, res_feat, vit_feat):
+        """res_feat [BN, Hr, Wr, Cr]; vit_feat [BN, Hv, Wv, Cv].
+        Returns [BN, Hv, Wv, vit_dim]."""
+        BN, Hr, Wr, Cr = res_feat.shape
+        _, Hv, Wv, Cv = vit_feat.shape
+        q = nn.Dense(self.vit_dim, dtype=self.dtype,
+                     name="query_proj")(res_feat.reshape(BN, Hr * Wr, Cr))
+        kv = vit_feat.reshape(BN, Hv * Wv, Cv)
+        k = nn.Dense(self.vit_dim, dtype=self.dtype, name="key_proj")(kv)
+        v = nn.Dense(self.vit_dim, dtype=self.dtype, name="value_proj")(kv)
+        out = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=self.vit_dim,
+            out_features=self.vit_dim, dtype=self.dtype,
+            name="attn")(q, k, v)
+        out = nn.Dense(self.vit_dim, dtype=self.dtype,
+                       name="output_proj")(out)
+        out = out.reshape(BN, Hr, Wr, self.vit_dim)
+        return resize_bilinear(out, (Hv, Wv), align_corners=False)
+
+
+def group_corr_cost_volume(feats, max_disp: int = 4, groups: int = 64):
+    """Group-wise correlation stereo cost volume
+    (ocrfdet_vggt.py build_cost_volume:175-229, 'group_corr').
+
+    feats [B, 2, H, W, C] -> cost [B, H, W, D, groups], D = max_disp+1.
+    right features are shifted by d along width (clamped at 0).
+    """
+    B, V, H, W, C = feats.shape
+    assert V == 2 and C % groups == 0
+    cg = C // groups
+    left = feats[:, 0].reshape(B, H, W, groups, cg)
+    right = feats[:, 1].reshape(B, H, W, groups, cg)
+    D = max_disp + 1
+    costs = []
+    for d in range(D):
+        idx = jnp.clip(jnp.arange(W) - d, 0, W - 1)
+        r_shift = right[:, :, idx]
+        costs.append(jnp.sum(left * r_shift, axis=-1))   # [B,H,W,G]
+    return jnp.stack(costs, axis=3)                      # [B,H,W,D,G]
+
+
+def smooth_l1(x, y, beta: float = 1.0):
+    d = jnp.abs(x - y)
+    return jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta)
+
+
+class GeoEnhDet(OcRFDet):
+    """OcRFDet + KD branch. Extra batch keys:
+      kd_pair   [B, 2] int32 — indices of the adjacent camera pair
+      (the reference draws i1 uniform, i2 = the rig neighbour,
+       ocrfdet_vggt.py get_pair_indices:166-173; pair selection happens
+       in the data pipeline / synthetic generator).
+    """
+
+    def setup(self):
+        super().setup()
+        tcfg = self.cfg.vggt_teacher
+        self.aggregator = Aggregator(
+            patch_size=tcfg.patch_size, embed_dim=tcfg.embed_dim,
+            depth=tcfg.depth, num_heads=tcfg.num_heads,
+            dtype=self.dtype, name="aggregator")
+        self.aligner = CrossAttentionAlign(
+            vit_dim=2 * tcfg.embed_dim, dtype=self.dtype, name="aligner")
+
+    def kd_branch(self, fpn_key, batch, train: bool):
+        """fpn_key [B, N, h, w, C] key-frame FPN features."""
+        tcfg = self.cfg.vggt_teacher
+        B, N = fpn_key.shape[:2]
+        pair = batch["kd_pair"]                       # [B, 2]
+
+        def take_pair(arr):
+            return jnp.take_along_axis(
+                arr, pair.reshape(B, 2, *([1] * (arr.ndim - 2))), axis=1)
+
+        imgs = take_pair(batch["imgs"][:, 0])         # [B,2,H,W,3]
+        th = tcfg.image_size[0]
+        tw = tcfg.image_size[1]
+        imgs_t = resize_bilinear(
+            imgs.reshape(B * 2, *imgs.shape[2:]), (th, tw),
+            align_corners=False).reshape(B, 2, th, tw, 3)
+        tokens, p0 = self.aggregator(imgs_t.astype(self.dtype))
+        tokens = jax.lax.stop_gradient(tokens)        # frozen teacher
+        ph, pw = th // tcfg.patch_size, tw // tcfg.patch_size
+        tok_img = tokens[:, :, p0:].reshape(
+            B * 2, ph, pw, tokens.shape[-1])
+
+        feat_s = take_pair(fpn_key)                   # [B,2,h,w,C]
+        aligned = self.aligner(
+            feat_s.reshape(B * 2, *feat_s.shape[2:]), tok_img)
+
+        groups = min(64, tokens.shape[-1])
+        cv_t = group_corr_cost_volume(
+            tok_img.reshape(B, 2, ph, pw, -1).astype(jnp.float32),
+            max_disp=4, groups=groups)
+        cv_s = group_corr_cost_volume(
+            aligned.reshape(B, 2, ph, pw, -1).astype(jnp.float32),
+            max_disp=4, groups=groups)
+        cv_t = jax.lax.stop_gradient(cv_t)
+
+        loss_smooth = 0.1 * jnp.mean(smooth_l1(cv_t, cv_s))
+        t_flat = cv_t.reshape(B, -1)
+        s_flat = cv_s.reshape(B, -1)
+        cos = jnp.sum(t_flat * s_flat, -1) * jax.lax.rsqrt(
+            jnp.sum(t_flat ** 2, -1) * jnp.sum(s_flat ** 2, -1) + 1e-12)
+        loss_cos = jnp.mean(1.0 - cos)
+        return dict(loss_Smoothl1_KD=loss_smooth, loss_cos_KD=loss_cos)
+
+    def __call__(self, batch, train: bool = False):
+        preds, aux = super().__call__(batch, train=train)
+        fpn_key = aux.pop("fpn_key")
+        if train:
+            aux = dict(aux, **self.kd_branch(fpn_key, batch, train))
+        return preds, aux

@@ -12,9 +12,14 @@ lengths are hostile to XLA, so this redesign keeps everything static:
      render_xla (shared semantics: square 3-sigma support, alpha cap
      0.99, 1/255 cutoff, median depth at the T<0.5 crossing).
 
-M bounds per-tile work; `overflow` reports how many contributors were
-dropped (0 in practice for the 13-plane OcRF scenes when M is sized
-per config). Differentiable by autodiff like the dense version.
+The whole per-tile pipeline runs under lax.map over groups of tiles so
+peak memory is O(group * G) for the selection and O(group * M * P) for
+compositing — at flagship size (704 tiles x 213k Gaussians) the naive
+[T, G] priority matrix alone would be ~600 MB.
+
+M bounds per-tile work; `overflow` reports dropped contributors
+(0 in practice for the 13-plane OcRF scenes when M is sized per
+config). Differentiable by plain autodiff like the dense renderer.
 """
 from __future__ import annotations
 
@@ -24,16 +29,18 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from ...utils.vma import match_vma
 from .preprocess import Gaussians2D
 from .render_xla import ALPHA_EPS, MEDIAN_DEPTH_DEFAULT
 
 
 @partial(jax.jit, static_argnames=("height", "width", "tile_h", "tile_w",
-                                   "max_per_tile", "chunk"))
+                                   "max_per_tile", "chunk", "tile_group"))
 def render_gaussians_tiled(g: Gaussians2D, color, opacity,
                            height: int, width: int,
                            tile_h: int = 16, tile_w: int = 16,
                            max_per_tile: int = 512, chunk: int = 128,
+                           tile_group: int = 16,
                            bg_color=(0.0, 0.0, 0.0)):
     """Returns (image [H,W,3], median_depth [H,W], overflow [] int32)."""
     assert height % tile_h == 0 and width % tile_w == 0
@@ -41,104 +48,112 @@ def render_gaussians_tiled(g: Gaussians2D, color, opacity,
     T = n_ty * n_tx
     G = color.shape[0]
     P = tile_h * tile_w
+    M = min(max_per_tile, G)
 
     r = g.radius
     x0 = jnp.floor((g.mean2d[:, 0] - r) / tile_w)
     x1 = jnp.floor((g.mean2d[:, 0] + r) / tile_w)
     y0 = jnp.floor((g.mean2d[:, 1] - r) / tile_h)
     y1 = jnp.floor((g.mean2d[:, 1] + r) / tile_h)
+    g_ok = g.valid & (r > 0)
+    neg_depth = jnp.where(g_ok, -g.depth, -jnp.inf)
 
-    tix = jnp.tile(jnp.arange(n_tx, dtype=jnp.float32), n_ty)   # [T]
-    tiy = jnp.repeat(jnp.arange(n_ty, dtype=jnp.float32), n_tx)
-    overlap = ((tix[:, None] >= x0[None]) & (tix[:, None] <= x1[None])
-               & (tiy[:, None] >= y0[None]) & (tiy[:, None] <= y1[None])
-               & g.valid[None, :] & (r[None, :] > 0))           # [T, G]
-    count = jnp.sum(overlap, axis=1)
-    overflow = jnp.sum(jnp.maximum(count - max_per_tile, 0))
+    tix_all = jnp.tile(jnp.arange(n_tx, dtype=jnp.float32), n_ty)  # [T]
+    tiy_all = jnp.repeat(jnp.arange(n_ty, dtype=jnp.float32), n_tx)
 
-    M = min(max_per_tile, G)
-    priority = jnp.where(overlap, -g.depth[None, :], -jnp.inf)
-    prio, idx = jax.lax.top_k(priority, M)                      # [T, M]
-    live = jnp.isfinite(prio)
+    # pad tiles to a multiple of tile_group
+    padT = (-T) % tile_group
+    if padT:
+        tix_all = jnp.concatenate([tix_all, jnp.zeros((padT,))])
+        tiy_all = jnp.concatenate([tiy_all, jnp.zeros((padT,))])
+    n_groups = (T + padT) // tile_group
 
-    # gather per-tile gaussian packets
-    mean_t = g.mean2d[idx]        # [T, M, 2]
-    conic_t = g.conic[idx]
-    rad_t = g.radius[idx]
-    depth_t = g.depth[idx]
-    color_t = color[idx]          # [T, M, 3]
-    opac_t = opacity[idx]
-
-    # pixel coords per tile: [T, P]
     px_in = jnp.tile(jnp.arange(tile_w, dtype=jnp.float32), tile_h)
     py_in = jnp.repeat(jnp.arange(tile_h, dtype=jnp.float32), tile_w)
-    px = tix[:, None] * tile_w + px_in[None, :]
-    py = tiy[:, None] * tile_h + py_in[None, :]
 
     pad = (-M) % chunk
-    if pad:
-        def padc(x, val=0.0):
-            cfg = [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2)
-            return jnp.pad(x, cfg, constant_values=val)
-        mean_t, conic_t, rad_t, depth_t, color_t, opac_t = map(
-            padc, (mean_t, conic_t, rad_t, depth_t, color_t, opac_t))
-        live = padc(live.astype(jnp.float32))
-    else:
-        live = live.astype(jnp.float32)
     Mp = M + pad
     n_chunks = Mp // chunk
-
-    def reshape_chunks(x):
-        return jnp.moveaxis(
-            x.reshape(x.shape[0], n_chunks, chunk, *x.shape[2:]), 1, 0)
-
-    seq = tuple(map(reshape_chunks,
-                    (mean_t, conic_t, rad_t, depth_t, color_t, opac_t, live)))
-
-    def body(carry, inp):
-        accum, log_t, med, found = carry
-        mean_c, con_c, rad_c, dep_c, col_c, op_c, live_c = inp  # [T,K,...]
-        dx = px[:, None, :] - mean_c[..., 0:1]                  # [T,K,P]
-        dy = py[:, None, :] - mean_c[..., 1:2]
-        power = (-0.5 * (con_c[..., 0:1] * dx * dx
-                         + con_c[..., 2:3] * dy * dy)
-                 - con_c[..., 1:2] * dx * dy)
-        alpha = op_c[..., None] * jnp.exp(jnp.minimum(power, 0.0))
-        alpha = jnp.minimum(alpha, 0.99)
-        keep = ((jnp.abs(dx) <= rad_c[..., None])
-                & (jnp.abs(dy) <= rad_c[..., None])
-                & (power <= 0.0) & (alpha >= ALPHA_EPS))
-        alpha = jnp.where(keep, alpha, 0.0) * live_c[..., None]
-        log1m = jnp.log1p(-alpha)
-        cum_in = jnp.cumsum(log1m, axis=1)
-        excl = jnp.concatenate(
-            [jnp.zeros_like(cum_in[:, :1]), cum_in[:, :-1]], axis=1)
-        t_here = jnp.exp(log_t[:, None, :] + excl)
-        w = alpha * t_here                                      # [T,K,P]
-        accum = accum + jnp.einsum('tkp,tkc->tpc', w, col_c)
-        t_after = jnp.exp(log_t[:, None, :] + cum_in)
-        crossed = (t_after < 0.5) & (alpha > 0.0)
-        first = jnp.argmax(crossed, axis=1)                     # [T,P]
-        any_cross = jnp.any(crossed, axis=1)
-        d_new = jnp.take_along_axis(dep_c, first, axis=1)
-        med = jnp.where(~found & any_cross, d_new, med)
-        found = found | any_cross
-        log_t = log_t + cum_in[:, -1]
-        return (accum, log_t, med, found), None
-
-    from ...utils.vma import match_vma
-    init = (match_vma(jnp.zeros((T, P, 3), jnp.float32), color),
-            match_vma(jnp.zeros((T, P), jnp.float32), color),
-            match_vma(jnp.full((T, P), MEDIAN_DEPTH_DEFAULT, jnp.float32),
-                      color),
-            jnp.zeros((T, P), bool) | (color.ravel()[0] > jnp.inf))
-    (accum, log_t, med, _), _ = jax.lax.scan(body, init, seq)
-
     bg = jnp.asarray(bg_color, dtype=jnp.float32)
-    img_t = accum + jnp.exp(log_t)[..., None] * bg
-    # untile: [T, P, 3] -> [H, W, 3]
-    img = img_t.reshape(n_ty, n_tx, tile_h, tile_w, 3)
+
+    def render_group(tix, tiy):
+        """tix/tiy [tile_group] -> (img [tg,P,3], med [tg,P], ovf)."""
+        tg = tix.shape[0]
+        overlap = ((tix[:, None] >= x0[None]) & (tix[:, None] <= x1[None])
+                   & (tiy[:, None] >= y0[None]) & (tiy[:, None] <= y1[None])
+                   & g_ok[None, :])                      # [tg, G]
+        count = jnp.sum(overlap, axis=1)
+        ovf = jnp.sum(jnp.maximum(count - M, 0))
+        priority = jnp.where(overlap, neg_depth[None, :], -jnp.inf)
+        prio, idx = jax.lax.top_k(priority, M)           # [tg, M]
+        live = jnp.isfinite(prio).astype(jnp.float32)
+
+        packets = (g.mean2d[idx], g.conic[idx], g.radius[idx],
+                   g.depth[idx], color[idx], opacity[idx], live)
+        if pad:
+            def padc(x):
+                cfgp = [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2)
+                return jnp.pad(x, cfgp)
+            packets = tuple(map(padc, packets))
+
+        def reshape_chunks(x):
+            return jnp.moveaxis(
+                x.reshape(tg, n_chunks, chunk, *x.shape[2:]), 1, 0)
+        seq = tuple(map(reshape_chunks, packets))
+
+        px = tix[:, None] * tile_w + px_in[None, :]      # [tg, P]
+        py = tiy[:, None] * tile_h + py_in[None, :]
+
+        def body(carry, inp):
+            accum, log_t, med, found = carry
+            mean_c, con_c, rad_c, dep_c, col_c, op_c, live_c = inp
+            dx = px[:, None, :] - mean_c[..., 0:1]       # [tg,K,P]
+            dy = py[:, None, :] - mean_c[..., 1:2]
+            power = (-0.5 * (con_c[..., 0:1] * dx * dx
+                             + con_c[..., 2:3] * dy * dy)
+                     - con_c[..., 1:2] * dx * dy)
+            alpha = op_c[..., None] * jnp.exp(jnp.minimum(power, 0.0))
+            alpha = jnp.minimum(alpha, 0.99)
+            keep = ((jnp.abs(dx) <= rad_c[..., None])
+                    & (jnp.abs(dy) <= rad_c[..., None])
+                    & (power <= 0.0) & (alpha >= ALPHA_EPS))
+            alpha = jnp.where(keep, alpha, 0.0) * live_c[..., None]
+            log1m = jnp.log1p(-alpha)
+            cum_in = jnp.cumsum(log1m, axis=1)
+            excl = jnp.concatenate(
+                [jnp.zeros_like(cum_in[:, :1]), cum_in[:, :-1]], axis=1)
+            t_here = jnp.exp(log_t[:, None, :] + excl)
+            w = alpha * t_here
+            accum = accum + jnp.einsum('tkp,tkc->tpc', w, col_c)
+            t_after = jnp.exp(log_t[:, None, :] + cum_in)
+            crossed = (t_after < 0.5) & (alpha > 0.0)
+            first = jnp.argmax(crossed, axis=1)
+            any_cross = jnp.any(crossed, axis=1)
+            d_new = jnp.take_along_axis(dep_c, first, axis=1)
+            med = jnp.where(~found & any_cross, d_new, med)
+            found = found | any_cross
+            log_t = log_t + cum_in[:, -1]
+            return (accum, log_t, med, found), None
+
+        init = (match_vma(jnp.zeros((tg, P, 3), jnp.float32), color),
+                match_vma(jnp.zeros((tg, P), jnp.float32), color),
+                match_vma(jnp.full((tg, P), MEDIAN_DEPTH_DEFAULT,
+                                   jnp.float32), color),
+                jnp.zeros((tg, P), bool) | (color.ravel()[0] > jnp.inf))
+        (accum, log_t, med, _), _ = jax.lax.scan(body, init, seq)
+        img = accum + jnp.exp(log_t)[..., None] * bg
+        return img, med, ovf
+
+    tix_g = tix_all.reshape(n_groups, tile_group)
+    tiy_g = tiy_all.reshape(n_groups, tile_group)
+    imgs, meds, ovfs = jax.lax.map(
+        lambda xy: render_group(xy[0], xy[1]), (tix_g, tiy_g))
+    imgs = imgs.reshape(n_groups * tile_group, P, 3)[:T]
+    meds = meds.reshape(n_groups * tile_group, P)[:T]
+    overflow = jnp.sum(ovfs)
+
+    img = imgs.reshape(n_ty, n_tx, tile_h, tile_w, 3)
     img = jnp.transpose(img, (0, 2, 1, 3, 4)).reshape(height, width, 3)
-    med = med.reshape(n_ty, n_tx, tile_h, tile_w)
+    med = meds.reshape(n_ty, n_tx, tile_h, tile_w)
     med = jnp.transpose(med, (0, 2, 1, 3)).reshape(height, width)
     return img, med, overflow

@@ -57,10 +57,11 @@ class Trainer:
         self.state: Optional[TrainState] = None
         self.step_fn = None
 
-    def init_state(self, example_batch: Dict[str, np.ndarray]):
-        dev_batch = _device_batch(example_batch, 1.0, 0.0)
-        variables = self.model.init(
-            jax.random.PRNGKey(self.cfg.seed), dev_batch, train=True)
+    def init_state(self, example_batch: Optional[Dict[str, np.ndarray]]
+                   = None):
+        from ..utils.fast_init import fast_init
+        variables, self.model = fast_init(
+            self.cfg, OcRFDet, rng_seed=self.cfg.seed, train=True)
         self.tx = make_optimizer(self.cfg.optim, variables["params"],
                                  self.steps_per_epoch)
         self.state = create_train_state(variables, self.tx)

@@ -71,6 +71,10 @@ def compute_losses(cfg: OcRFDetConfig, preds, aux, batch,
             batch.get("use_box_mask", jnp.asarray(0.0)))
         losses.update(rl)
 
+    for k in ("loss_Smoothl1_KD", "loss_cos_KD"):
+        if k in aux:
+            losses[k] = aux[k]
+
     tgts = {k: batch[k] for k in ("heatmaps", "anno_boxes", "inds", "masks")}
     losses.update(center_head_loss(
         preds, tgts, cfg.head.code_weights,

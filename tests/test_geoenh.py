@@ -1,0 +1,78 @@
+"""GeoEnhDet (VGGT distillation) with a miniature teacher."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ocrfdet_tpu.config import VGGTTeacherConfig, tiny_config
+from ocrfdet_tpu.data.synthetic import make_batch
+from ocrfdet_tpu.models.geoenh import (GeoEnhDet, group_corr_cost_volume,
+                                       smooth_l1)
+from ocrfdet_tpu.models.vggt import Aggregator
+
+
+def _mini_teacher():
+    return VGGTTeacherConfig(image_size=(28, 56), patch_size=14,
+                             embed_dim=32, depth=2, num_heads=4)
+
+
+def test_aggregator_shapes():
+    agg = Aggregator(patch_size=14, embed_dim=32, depth=2, num_heads=4)
+    imgs = jnp.ones((1, 2, 28, 56, 3))
+    variables = agg.init(jax.random.PRNGKey(0), imgs)
+    tokens, p0 = agg.apply(variables, imgs)
+    # 2x4 patches + 1 camera + 4 register tokens, frame||global concat
+    assert p0 == 5
+    assert tokens.shape == (1, 2, 5 + 8, 64)
+
+
+def test_group_corr_cost_volume():
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(1, 2, 3, 8, 8)))
+    cv = group_corr_cost_volume(feats, max_disp=2, groups=4)
+    assert cv.shape == (1, 3, 8, 3, 4)
+    # disparity 0 plane equals plain group correlation
+    left = np.asarray(feats[0, 0]).reshape(3, 8, 4, 2)
+    right = np.asarray(feats[0, 1]).reshape(3, 8, 4, 2)
+    expect = (left * right).sum(-1)
+    np.testing.assert_allclose(np.asarray(cv[0, :, :, 0]), expect,
+                               rtol=1e-5)
+
+
+def test_smooth_l1():
+    np.testing.assert_allclose(float(smooth_l1(jnp.asarray(0.5),
+                                               jnp.asarray(0.0))), 0.125)
+    np.testing.assert_allclose(float(smooth_l1(jnp.asarray(3.0),
+                                               jnp.asarray(0.0))), 2.5)
+
+
+def test_geoenh_train_step_losses():
+    cfg = tiny_config(with_ocrf=True, vggt_teacher=_mini_teacher())
+    model = GeoEnhDet(cfg)
+    batch = make_batch(cfg, batch_size=1, seed=0)
+    batch = {k: jnp.asarray(v) if isinstance(v, np.ndarray) else v
+             for k, v in batch.items()}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=True)
+    assert "aggregator" in variables["params"]
+    (preds, aux), _ = model.apply(variables, batch, train=True,
+                                  mutable=["batch_stats"])
+    assert "loss_Smoothl1_KD" in aux and "loss_cos_KD" in aux
+    assert np.isfinite(float(aux["loss_Smoothl1_KD"]))
+    assert np.isfinite(float(aux["loss_cos_KD"]))
+
+    # KD gradients reach the aligner but NOT the frozen teacher
+    def loss_fn(params):
+        (p, a), _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            batch, train=True, mutable=["batch_stats"])
+        return a["loss_Smoothl1_KD"] + a["loss_cos_KD"]
+
+    grads = jax.grad(loss_fn)(variables["params"])
+
+    def gsum(tree):
+        return float(sum(jnp.sum(jnp.abs(g.astype(jnp.float32)))
+                         for g in jax.tree.leaves(tree)))
+    assert gsum(grads["aligner"]) > 0
+    assert gsum(grads["aggregator"]) == 0.0
+    assert gsum(grads["img_backbone"]) > 0   # student grads flow
