@@ -60,7 +60,22 @@ def bev_pool_lss(depth, feat, vox_idx, valid, bev_size, impl="matmul"):
     ids = _flat_cell_ids(vox_idx, valid, bev_size)          # [B,N,D,fH,fW]
     w = jnp.where(valid, depth, 0.0)
 
-    if impl == "segsum":
+    if impl == "pallas":
+        from .bev_pool_pallas import bev_pool_points
+        npix = N * fH * fW
+        pix = (
+            jnp.arange(N)[:, None, None, None] * (fH * fW)
+            + jnp.arange(fH)[None, None, :, None] * fW
+            + jnp.arange(fW)[None, None, None, :])
+        pix = jnp.broadcast_to(pix, (N, D, fH, fW))
+        pix = jnp.broadcast_to(
+            pix[None], (B, N, D, fH, fW)).reshape(B, -1).astype(jnp.int32)
+        ids_f = ids.reshape(B, -1).astype(jnp.int32)
+        w_f = w.reshape(B, -1)
+        featp = feat.reshape(B, npix, C)
+        out = bev_pool_points(w_f, pix, ids_f, featp, cells)
+        out = out.astype(feat.dtype)
+    elif impl == "segsum":
         P = N * D * fH * fW
         ids_f = ids.reshape(B, P)
         w_f = w.reshape(B, P)

@@ -87,3 +87,42 @@ def test_impls_agree_under_jit():
     a = f1(jnp.asarray(depth), jnp.asarray(feat))
     b = f2(jnp.asarray(depth), jnp.asarray(feat))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+
+def test_pallas_impl_matches_brute_force():
+    """Pallas kernel (interpreter mode on CPU) vs brute force."""
+    rng = np.random.default_rng(1)
+    B, N, D, fH, fW, C = 1, 2, 3, 2, 2, 5
+    bev_size = (3, 3, 1)
+    depth = rng.random((B, N, D, fH, fW)).astype(np.float32)
+    feat = rng.normal(size=(B, N, fH, fW, C)).astype(np.float32)
+    vox_idx = np.stack([
+        rng.integers(0, bev_size[0], (B, N, D, fH, fW)),
+        rng.integers(0, bev_size[1], (B, N, D, fH, fW)),
+        np.zeros((B, N, D, fH, fW), np.int64)], -1).astype(np.int32)
+    valid = rng.random((B, N, D, fH, fW)) < 0.8
+
+    out = bev_pool_lss(jnp.asarray(depth), jnp.asarray(feat),
+                       jnp.asarray(vox_idx), jnp.asarray(valid),
+                       bev_size, impl="pallas")
+    expect = brute_force(depth, feat, vox_idx, valid, bev_size)
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=2e-4,
+                               atol=1e-5)
+
+
+def test_pallas_impl_gradients():
+    depth, feat, vox_idx, valid, bev_size = golden_case()
+
+    def loss_fn(d, f):
+        return jnp.sum(bev_pool_lss(d, f, jnp.asarray(vox_idx),
+                                    jnp.asarray(valid), bev_size,
+                                    impl="pallas"))
+
+    loss, (gd, gf) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+        jnp.asarray(depth), jnp.asarray(feat))
+    np.testing.assert_allclose(float(loss), 4.4, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(gd).ravel(), [2, 2, 0, 0, 2, 0, 2, 0], atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(gf).ravel(), [1.0, 1.0, 0.4, 0.4, 0.8, 0.8, 0, 0],
+        atol=1e-6)
