@@ -60,7 +60,20 @@ def bev_pool_lss(depth, feat, vox_idx, valid, bev_size, impl="matmul"):
     ids = _flat_cell_ids(vox_idx, valid, bev_size)          # [B,N,D,fH,fW]
     w = jnp.where(valid, depth, 0.0)
 
-    if impl == "pallas":
+    if impl == "sort":
+        from .bev_pool_sort import bev_pool_sorted
+        npix = N * fH * fW
+        # pixel-major / depth-minor point layout (p = pix * D + d),
+        # required by bev_pool_sorted's backward
+        ids_pm = jnp.moveaxis(ids, 2, 4).reshape(B, -1).astype(jnp.int32)
+        w_pm = jnp.moveaxis(w, 2, 4).reshape(B, -1)
+        pix = jnp.broadcast_to(
+            jnp.arange(npix, dtype=jnp.int32)[None, :, None],
+            (B, npix, D)).reshape(B, -1)
+        featp = feat.reshape(B, npix, C)
+        out = bev_pool_sorted(w_pm, pix, ids_pm, featp, cells)
+        out = out.astype(feat.dtype)
+    elif impl == "pallas":
         from .bev_pool_pallas import bev_pool_points
         npix = N * fH * fW
         pix = (

@@ -40,6 +40,19 @@ def fast_init(cfg: OcRFDetConfig, model_cls, rng_seed: int = 0,
              for k, v in batch.items()}
     batch["with_prev"] = jnp.asarray(1.0)
     batch["use_box_mask"] = jnp.asarray(0.0)
-    variables = small_model.init(jax.random.PRNGKey(rng_seed), batch,
-                                 train=train)
+    # Initialise on the host CPU backend: remote-TPU compilation of the
+    # throwaway init graph costs minutes through the tunnel; CPU
+    # compiles locally in seconds and the params transfer on first use.
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None and jax.default_backend() != "cpu":
+        with jax.default_device(cpu):
+            variables = small_model.init(jax.random.PRNGKey(rng_seed),
+                                         jax.device_put(batch, cpu),
+                                         train=train)
+    else:
+        variables = small_model.init(jax.random.PRNGKey(rng_seed), batch,
+                                     train=train)
     return variables, model_cls(cfg)

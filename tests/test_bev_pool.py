@@ -40,7 +40,7 @@ def golden_case():
     return depth, feat, vox_idx, valid, (2, 2, 1)
 
 
-@pytest.mark.parametrize("impl", ["segsum", "matmul"])
+@pytest.mark.parametrize("impl", ["segsum", "matmul", "sort"])
 def test_golden_forward_and_grad(impl):
     depth, feat, vox_idx, valid, bev_size = golden_case()
 
@@ -58,7 +58,7 @@ def test_golden_forward_and_grad(impl):
         atol=1e-6)
 
 
-@pytest.mark.parametrize("impl", ["segsum", "matmul"])
+@pytest.mark.parametrize("impl", ["segsum", "matmul", "sort"])
 def test_random_vs_brute_force(impl):
     rng = np.random.default_rng(0)
     B, N, D, fH, fW, C = 2, 3, 4, 2, 5, 6
