@@ -127,26 +127,35 @@ def stereo_cost_volume(curr_feat, prev_feat, cv_frustum, k2s_sensor, intrins,
     gy = jnp.where(behind, -2.0, gy)
     grid = jnp.stack([gx, gy], axis=-1)          # [B,N,D,Hc,Wc,2]
 
-    # Scan over depth candidates: materialising the full
-    # [B,N,D,Hc,Wc,C] warp (~TBs at flagship size) is impossible; one
-    # depth plane at a time is [B,N,Hc,Wc,C] and the scan re-uses it.
-    # (The reference chunks over channel groups instead,
-    # view_transformer.py:583-592 — same peak-memory effect.)
+    # Channel-grouped warps (the reference's memory trick,
+    # view_transformer.py:583-592): materialising the full
+    # [B,N,D,Hc,Wc,C] warp is ~TBs at flagship size, and a scan over
+    # depth planes serialises 118 small gathers (measured 0.57 s/frame
+    # on v5e). Instead: one big [N, D*Hc*Wc] gather per channel group,
+    # unrolled so XLA vectorises freely; peak extra memory is
+    # [B,N,D,Hc,Wc,CG] (~85 MB at CG=32 in bf16).
+    CG = 32
     prev_flat = prev_feat.reshape(B * N, Hc, Wc, C)
-    grid_d = jnp.moveaxis(grid, 2, 0).reshape(D, B * N, Hc, Wc, 2)
-
-    def one_depth(_, g_d):
+    grid_flat = grid.reshape(B * N, D * Hc * Wc, 2)
+    cost = jnp.zeros((B * N, D * Hc * Wc), jnp.float32)
+    invalid = None
+    for c0 in range(0, C, CG):
+        grp = prev_flat[..., c0:c0 + CG].astype(jnp.bfloat16)
         warped = jax.vmap(
             lambda img, g: grid_sample_2d(img, g, align_corners=True)
-        )(prev_flat, g_d)                        # [BN,Hc,Wc,C]
-        cost_d = jnp.sum(jnp.abs(
-            curr_feat.reshape(B * N, Hc, Wc, C) - warped), axis=-1)
-        invalid = warped[..., 0] == 0.0
-        cost_d = jnp.where(invalid, cost_d + bias, cost_d)
-        return None, cost_d
-
-    _, cost = jax.lax.scan(one_depth, None, grid_d)        # [D,BN,Hc,Wc]
-    cost = jnp.moveaxis(cost, 0, 1).reshape(B, N, D, Hc, Wc)
+        )(grp, grid_flat)                         # [BN, DHW, CG]
+        curr_g = curr_feat.reshape(
+            B * N, 1, Hc * Wc, C)[..., c0:c0 + CG]
+        curr_g = jnp.broadcast_to(
+            curr_g, (B * N, D, Hc * Wc, CG)).reshape(
+            B * N, D * Hc * Wc, CG)
+        cost = cost + jnp.sum(
+            jnp.abs(curr_g.astype(jnp.float32)
+                    - warped.astype(jnp.float32)), axis=-1)
+        if c0 == 0:
+            invalid = warped[..., 0] == 0.0
+    cost = jnp.where(invalid, cost + bias, cost)
+    cost = cost.reshape(B, N, D, Hc, Wc)
     return jax.nn.softmax(-cost, axis=2)
 
 

@@ -150,23 +150,22 @@ class OcRFViewTransformer(nn.Module):
         ctx_flat = context.reshape(B, N, h * w, C)
         dep_flat = depth.reshape(B, N, h * w, D)
 
-        def step(acc, nz):
-            n, z = nz // Zh, nz % Zh
-            pix = vi[:, n, z] * w + ui[:, n, z]          # [B, Nq]
-            dbin = di[:, n, z]
+        # One big gather per camera (unrolled python loop): a scan over
+        # (camera, height) serialises 78 small gathers on TPU; per-
+        # camera batches of Z*Nq points keep the transient at
+        # [B, Z*Nq, C] (~70 MB) while letting XLA vectorise.
+        acc = jnp.zeros((B, Nq, C), dtype=context.dtype)
+        for n in range(N):
+            pix = (vi[:, n] * w + ui[:, n]).reshape(B, Zh * Nq)
+            dflat = (pix * D + di[:, n].reshape(B, Zh * Nq))
             wgt = jnp.take_along_axis(
-                jnp.take_along_axis(
-                    dep_flat[:, n], pix[..., None], axis=1),
-                dbin[..., None], axis=2)[..., 0]          # [B, Nq]
+                dep_flat[:, n].reshape(B, h * w * D), dflat, axis=1)
             feat = jnp.take_along_axis(
-                ctx_flat[:, n], pix[..., None], axis=1)   # [B, Nq, C]
-            wgt = wgt * valid[:, n, z].astype(wgt.dtype)
-            return acc + feat * wgt[..., None], None
-
-        from ...utils.vma import match_vma
-        acc0 = match_vma(jnp.zeros((B, Nq, C), dtype=context.dtype),
-                         context)
-        acc, _ = jax.lax.scan(step, acc0, jnp.arange(N * Zh))
+                ctx_flat[:, n], pix[..., None], axis=1)  # [B,ZNq,C]
+            wgt = wgt * valid[:, n].reshape(B, Zh * Nq).astype(wgt.dtype)
+            contrib = (feat * wgt[..., None].astype(feat.dtype)) \
+                .reshape(B, Zh, Nq, C)
+            acc = acc + jnp.sum(contrib, axis=1)
         ht = acc.reshape(B, cfg.bev_h, cfg.bev_w, C)
         return ht, uvd, valid
 
@@ -230,11 +229,20 @@ class OcRFViewTransformer(nn.Module):
         opacity = self.a_mlp(voxel_feat)[..., 0]       # [B, Zh, Nq]
 
         # per-camera NeRF alphas. Static Python loop (NOT lax.scan: flax
-        # params may not be created inside control-flow bodies); each
-        # iteration's [B, H, W, C] full-res feature is transient.
-        alphas = jnp.stack(
-            [self.nerf_alpha(self.nerf_full_feat(x[:, n]))[..., 0]
-             for n in range(N)], axis=1)               # [B, N, H, W]
+        # params may not be created inside control-flow bodies);
+        # cameras are processed in groups sized so the transient
+        # [B*group, H, W, C] full-res feature stays ~<400 MB.
+        Hf, Wf = cfg.render_image_size
+        group = max(1, min(N, 8 // max(B, 1)))
+        alpha_parts = []
+        for n0 in range(0, N, group):
+            xs = x[:, n0:n0 + group]
+            gN = xs.shape[1]
+            full = self.nerf_full_feat(
+                xs.reshape((B * gN,) + xs.shape[2:]))
+            a = self.nerf_alpha(full)[..., 0]
+            alpha_parts.append(a.reshape(B, gN, *a.shape[1:]))
+        alphas = jnp.concatenate(alpha_parts, axis=1)  # [B, N, H, W]
 
         # alpha back-projected to voxels (correct sampling; see header)
         alpha_lidar = self.sample_at_voxels(
