@@ -214,6 +214,11 @@ class ParallelConfig:
     only DDP, apis/train.py:227-231)."""
     data_axis: int = -1   # -1 = all devices
     space_axis: int = 1
+    # shard the per-camera image backbone over `space` (requires the
+    # model to run under shard_map with a 'space' mesh axis whose size
+    # divides the camera count); FPN/stem features are all-gathered
+    # before the BEV stage.
+    shard_cameras: bool = False
 
 
 @dataclass(frozen=True)

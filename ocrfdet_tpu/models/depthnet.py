@@ -127,35 +127,40 @@ def stereo_cost_volume(curr_feat, prev_feat, cv_frustum, k2s_sensor, intrins,
     gy = jnp.where(behind, -2.0, gy)
     grid = jnp.stack([gx, gy], axis=-1)          # [B,N,D,Hc,Wc,2]
 
-    # Channel-grouped warps (the reference's memory trick,
-    # view_transformer.py:583-592): materialising the full
-    # [B,N,D,Hc,Wc,C] warp is ~TBs at flagship size, and a scan over
-    # depth planes serialises 118 small gathers (measured 0.57 s/frame
-    # on v5e). Instead: one big [N, D*Hc*Wc] gather per channel group,
-    # unrolled so XLA vectorises freely; peak extra memory is
-    # [B,N,D,Hc,Wc,CG] (~85 MB at CG=32 in bf16).
-    CG = 32
-    prev_flat = prev_feat.reshape(B * N, Hc, Wc, C)
-    grid_flat = grid.reshape(B * N, D * Hc * Wc, 2)
-    cost = jnp.zeros((B * N, D * Hc * Wc), jnp.float32)
-    invalid = None
-    for c0 in range(0, C, CG):
-        grp = prev_flat[..., c0:c0 + CG].astype(jnp.bfloat16)
+    # Depth-chunked warps under lax.scan. Design notes from profiling
+    # on v5e: a scan over single depth planes serialises 118 small
+    # gathers (0.57 s/frame); a python-unrolled channel-group loop lets
+    # XLA schedule every group's [points, CG] taps concurrently (35 GB
+    # peak) and narrow channel groups pad the 128-lane dim 4x. The
+    # sweet spot is a scan (forced sequential, one chunk's transients
+    # live at a time) over chunks of DCH depth planes with the full
+    # channel width on the lane dim, gathers in bf16:
+    # per-step transient ~ 4 taps x [N, DCH*Hc*Wc, C] bf16.
+    DCH = 8
+    Dp = ((D + DCH - 1) // DCH) * DCH
+    prev_flat = prev_feat.reshape(B * N, Hc, Wc, C).astype(jnp.bfloat16)
+    grid_p = jnp.moveaxis(grid, 2, 0)             # [D, B, N, Hc, Wc, 2]
+    if Dp != D:
+        grid_p = jnp.concatenate(
+            [grid_p, jnp.full((Dp - D,) + grid_p.shape[1:], -2.0,
+                              grid_p.dtype)], axis=0)
+    grid_c = grid_p.reshape(Dp // DCH, DCH, B * N, Hc * Wc, 2)
+    grid_c = jnp.moveaxis(grid_c, 2, 1)           # [nc, BN, DCH, HW, 2]
+    curr_flat = curr_feat.reshape(B * N, 1, Hc * Wc, C) \
+        .astype(jnp.float32)
+
+    def one_chunk(_, g_c):
         warped = jax.vmap(
             lambda img, g: grid_sample_2d(img, g, align_corners=True)
-        )(grp, grid_flat)                         # [BN, DHW, CG]
-        curr_g = curr_feat.reshape(
-            B * N, 1, Hc * Wc, C)[..., c0:c0 + CG]
-        curr_g = jnp.broadcast_to(
-            curr_g, (B * N, D, Hc * Wc, CG)).reshape(
-            B * N, D * Hc * Wc, CG)
-        cost = cost + jnp.sum(
-            jnp.abs(curr_g.astype(jnp.float32)
-                    - warped.astype(jnp.float32)), axis=-1)
-        if c0 == 0:
-            invalid = warped[..., 0] == 0.0
-    cost = jnp.where(invalid, cost + bias, cost)
-    cost = cost.reshape(B, N, D, Hc, Wc)
+        )(prev_flat, g_c)                         # [BN, DCH, HW, C]
+        cost_c = jnp.sum(
+            jnp.abs(curr_flat - warped.astype(jnp.float32)), axis=-1)
+        invalid_c = warped[..., 0] == 0.0
+        cost_c = jnp.where(invalid_c, cost_c + bias, cost_c)
+        return None, cost_c                       # [BN, DCH, HW]
+
+    _, cost = jax.lax.scan(one_chunk, None, grid_c)
+    cost = jnp.moveaxis(cost, 0, 1).reshape(B, N, Dp, Hc, Wc)[:, :, :D]
     return jax.nn.softmax(-cost, axis=2)
 
 

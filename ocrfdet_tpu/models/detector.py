@@ -82,17 +82,46 @@ class OcRFDet(nn.Module):
         self.head = CenterHead(cfg.head, dtype=dtype, name="pts_bbox_head")
 
     def image_encoder(self, imgs, train: bool, stem_only: bool = False):
-        """imgs [B, N, H, W, 3] -> (fpn_feat [B,N,h,w,C], stem feat)."""
+        """imgs [B, N, H, W, 3] -> (fpn_feat [B,N,h,w,C], stem feat).
+
+        With cfg.parallel.shard_cameras (under shard_map with a
+        'space' axis), each device runs the backbone on N/space
+        cameras and the features are all-gathered over ICI — the
+        camera axis is this model's analogue of sequence parallelism.
+        """
         B, N, H, W, C = imgs.shape
+        shard = self.cfg.parallel.shard_cameras \
+            and self.cfg.parallel.space_axis > 1
+        if shard:
+            try:
+                sidx = jax.lax.axis_index("space")
+            except NameError:
+                # not under shard_map (e.g. during init): run unsharded
+                shard = False
+        if shard:
+            S = self.cfg.parallel.space_axis
+            assert N % S == 0, (N, S)
+            nl = N // S
+            imgs = jax.lax.dynamic_slice_in_dim(imgs, sidx * nl, nl,
+                                                axis=1)
+            N = nl
         x = imgs.reshape(B * N, H, W, C).astype(self.dtype)
         if stem_only:
             stem = self.backbone(x, train=train, stem_only=True)
-            return None, stem.reshape(B, N, *stem.shape[1:])
+            stem = stem.reshape(B, N, *stem.shape[1:])
+            if shard:
+                stem = jax.lax.all_gather(
+                    stem, "space", axis=1, tiled=True)
+            return None, stem
         feats = self.backbone(x, train=train)
         stem = feats[0]
         fpn = self.neck(feats[1:])
         fpn = fpn.reshape(B, N, *fpn.shape[1:])
-        return fpn, stem.reshape(B, N, *stem.shape[1:])
+        stem = stem.reshape(B, N, *stem.shape[1:])
+        if shard:
+            fpn = jax.lax.all_gather(fpn, "space", axis=1, tiled=True)
+            stem = jax.lax.all_gather(stem, "space", axis=1, tiled=True)
+        return fpn, stem
 
     def bev_encoder(self, bev, train: bool):
         feats = self.bev_backbone(bev, train=train)

@@ -35,12 +35,14 @@ from .render_xla import ALPHA_EPS, MEDIAN_DEPTH_DEFAULT
 
 
 @partial(jax.jit, static_argnames=("height", "width", "tile_h", "tile_w",
-                                   "max_per_tile", "chunk", "tile_group"))
+                                   "max_per_tile", "chunk", "tile_group",
+                                   "global_cap"))
 def render_gaussians_tiled(g: Gaussians2D, color, opacity,
                            height: int, width: int,
                            tile_h: int = 16, tile_w: int = 16,
                            max_per_tile: int = 512, chunk: int = 128,
                            tile_group: int = 16,
+                           global_cap: int = 65536,
                            bg_color=(0.0, 0.0, 0.0)):
     """Returns (image [H,W,3], median_depth [H,W], overflow [] int32)."""
     assert height % tile_h == 0 and width % tile_w == 0
@@ -49,6 +51,23 @@ def render_gaussians_tiled(g: Gaussians2D, color, opacity,
     G = color.shape[0]
     P = tile_h * tile_w
     M = min(max_per_tile, G)
+
+    # global pre-compaction: most Gaussians fail the frustum cull for
+    # any single camera; one top_k keeps the nearest `global_cap`
+    # valid ones and every per-tile selection then works on the
+    # compacted (depth-sorted) set.
+    if G > global_cap:
+        gprio = jnp.where(g.valid & (g.radius > 0), -g.depth, -jnp.inf)
+        gp, gidx = jax.lax.top_k(gprio, global_cap)
+        keep_valid = jnp.isfinite(gp)
+        g = Gaussians2D(
+            mean2d=g.mean2d[gidx], conic=g.conic[gidx],
+            radius=jnp.where(keep_valid, g.radius[gidx], 0.0),
+            depth=g.depth[gidx], valid=g.valid[gidx] & keep_valid)
+        color = color[gidx]
+        opacity = opacity[gidx]
+        G = global_cap
+        M = min(max_per_tile, G)
 
     r = g.radius
     x0 = jnp.floor((g.mean2d[:, 0] - r) / tile_w)

@@ -21,6 +21,20 @@ from ..train.optim import TrainState, ema_update
 from ..train.trainstep import compute_losses, total_loss
 
 
+def _pmean_both(tree):
+    """pmean over ('data', 'space') regardless of each leaf's current
+    varying-axes state (jax's vma typing rejects reducing an axis a
+    value is invariant to; pvary the missing axes first)."""
+    def one(x):
+        t = jax.typeof(x)
+        vma = getattr(t, "vma", frozenset())
+        missing = tuple(a for a in ("data", "space") if a not in vma)
+        if missing:
+            x = jax.lax.pvary(x, missing)
+        return jax.lax.pmean(x, ("data", "space"))
+    return jax.tree.map(one, tree)
+
+
 def build_train_step(cfg: OcRFDetConfig, model, tx,
                      mesh: Mesh) -> Callable:
     """Returns train_step(state, batch) -> (state, metrics); batch
@@ -38,13 +52,18 @@ def build_train_step(cfg: OcRFDetConfig, model, tx,
 
         (loss, (losses, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        grads = jax.lax.pmean(grads, "data")
+        # pmean over BOTH axes: with cameras sharded over `space`, the
+        # all_gather transpose (psum_scatter) leaves each space shard
+        # holding S x (its cameras' grad); the space-mean restores the
+        # exact full-camera sum, and for replicated params it is a
+        # no-op. (See models/detector.py image_encoder.)
+        grads = _pmean_both(grads)
         # average BN running stats across shards (the state is
         # replicated, so per-device stats like plain DDP-BN are not
         # representable; cross-shard averaging is the consistent choice)
-        new_stats = jax.lax.pmean(new_stats, "data")
-        loss = jax.lax.pmean(loss, "data")
-        losses = jax.lax.pmean(losses, "data")
+        new_stats = _pmean_both(new_stats)
+        loss = _pmean_both(loss)
+        losses = _pmean_both(losses)
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(

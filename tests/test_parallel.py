@@ -77,3 +77,38 @@ def test_dp_step_deterministic_and_2axis_mesh():
     np.testing.assert_allclose(float(m1["loss_total"]),
                                float(m2["loss_total"]), rtol=0)
     assert np.isfinite(float(m1["loss_total"]))
+
+
+def test_camera_sharding_matches_replicated():
+    """shard_cameras over a 2-way space axis == unsharded result."""
+    import dataclasses
+    from ocrfdet_tpu.config import ParallelConfig
+    base = tiny_config(with_ocrf=False)
+    batch = _to_jnp(make_batch(base, batch_size=4, seed=2))
+
+    def run(shard):
+        cfg = dataclasses.replace(
+            base, parallel=ParallelConfig(space_axis=2,
+                                          shard_cameras=shard))
+        model = OcRFDet(cfg)
+        variables = model.init(jax.random.PRNGKey(0), batch, train=True)
+        tx = make_optimizer(cfg.optim, variables["params"],
+                            steps_per_epoch=100)
+        mesh = make_mesh(data=4, space=2)
+        state = create_train_state(variables, tx)
+        step = build_train_step(cfg, model, tx, mesh)
+        new_state, metrics = step(state, batch)
+        return new_state, metrics
+
+    s_rep, m_rep = run(False)
+    s_shd, m_shd = run(True)
+    # BN normalises per-shard camera subsets when sharded (DDP-like
+    # semantics), so results agree only to BN-statistics granularity
+    np.testing.assert_allclose(float(m_shd["loss_total"]),
+                               float(m_rep["loss_total"]), rtol=5e-3)
+    worst = max(
+        float(np.max(np.abs(np.asarray(a, np.float64)
+                            - np.asarray(b, np.float64))))
+        for a, b in zip(jax.tree.leaves(s_rep.params),
+                        jax.tree.leaves(s_shd.params)))
+    assert worst < 5e-3, worst
