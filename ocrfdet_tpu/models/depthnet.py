@@ -171,13 +171,14 @@ class DepthNet(nn.Module):
     stereo: bool = True
     use_aspp: bool = True
     aspp_mid_channels: int = 96
+    cv_downsample: int = 16
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mlp_input, cost_volume=None, train: bool = False):
         """x [BN, H, W, C_in]; mlp_input [BN, 27];
-        cost_volume [BN, H, W, D] (pre-softmaxed, stride-16) or None.
-        Returns [BN, H, W, depth_channels + context_channels].
+        cost_volume [BN, Hcv, Wcv, D] (softmaxed, stride cv_downsample)
+        or None. Returns [BN, H, W, depth_ch + context_ch].
         """
         mlp_input = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
@@ -199,17 +200,20 @@ class DepthNet(nn.Module):
 
         if self.stereo:
             D = self.depth_channels - 2
+            ratio = 16 // self.cv_downsample   # 4 -> strides (2,2) etc
+            s0 = 2 if ratio >= 2 else 1
+            s1 = 2 if ratio >= 4 else 1
             if cost_volume is None:
                 # first frame has no previous features: zero volume at
-                # the stride-4 resolution (reference :605-612)
+                # the cv resolution (reference :605-612)
                 BN_, H, W, _ = x.shape
-                cost_volume = jnp.zeros((BN_, H * 4, W * 4, D),
-                                        dtype=x.dtype)
-            # cost_volumn_net: 2x (stride-2 conv3x3 + BN), D -> D,
-            # bringing the stride-4 volume onto the stride-16 grid.
+                cost_volume = jnp.zeros(
+                    (BN_, H * ratio, W * ratio, D), dtype=x.dtype)
+            # cost_volumn_net (reference :614-616): two conv3x3+BN
+            # bringing the cv-resolution volume onto the /16 grid
             cv = cost_volume
-            for k in range(2):
-                cv = nn.Conv(D, (3, 3), strides=(2, 2), padding=1,
+            for k, s in enumerate((s0, s1)):
+                cv = nn.Conv(D, (3, 3), strides=(s, s), padding=1,
                              dtype=self.dtype, name=f"cv_conv{k}")(cv)
                 cv = nn.BatchNorm(use_running_average=not train,
                                   momentum=0.9, epsilon=1e-5,

@@ -160,9 +160,20 @@ class OcRFDet(nn.Module):
                 cams.post_trans, batch["bda"]).astype(jnp.float32)
             cv = None
             if cfg.use_stereo and stem_prev is not None:
+                # stem features are stride 4; pool to the cost-volume
+                # resolution (see DepthNetConfig.cv_downsample)
+                pool = cfg.vt.depthnet.cv_downsample // 4
+                def _pool(t):
+                    if pool == 1:
+                        return t
+                    B_, N_ = t.shape[:2]
+                    tt = t.reshape((B_ * N_,) + t.shape[2:])
+                    tt = nn.avg_pool(tt, (pool, pool),
+                                     strides=(pool, pool))
+                    return tt.reshape((B_, N_) + tt.shape[1:])
                 cv = stereo_cost_volume(
-                    stem.astype(jnp.float32),
-                    stem_prev.astype(jnp.float32),
+                    _pool(stem).astype(jnp.float32),
+                    _pool(stem_prev).astype(jnp.float32),
                     self.vt.cv_frustum, batch["k2s_sensor"][:, f],
                     cams.intrins, cams.post_rots, cams.post_trans,
                     cfg.data.input_size,

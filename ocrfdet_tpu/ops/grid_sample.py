@@ -32,7 +32,9 @@ def bilinear_sample(img, x, y, padding_zero=True):
         if padding_zero:
             inb = ((xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1))
             wt = jnp.where(inb, wt, 0.0)
-        return v * wt[..., None]
+        # keep the image dtype (bf16 inputs must not upcast the big
+        # tap tensors to f32)
+        return v * wt[..., None].astype(img.dtype)
 
     out = (tap(x0i, y0i, (1 - tx) * (1 - ty))
            + tap(x0i + 1, y0i, tx * (1 - ty))
