@@ -49,9 +49,11 @@ class Trainer:
         self.work_dir = work_dir
         os.makedirs(work_dir, exist_ok=True)
         self.model = OcRFDet(cfg)
-        self.mesh = make_mesh(data=jax.device_count() //
-                              cfg.parallel.space_axis,
-                              space=cfg.parallel.space_axis)
+        space = cfg.parallel.space_axis
+        data = min(jax.device_count() // space, cfg.batch_size)
+        n_dev = data * space
+        self.mesh = make_mesh(data=data, space=space,
+                              devices=jax.devices()[:n_dev])
         self.steps_per_epoch = steps_per_epoch
         self.tx = None
         self.state: Optional[TrainState] = None
@@ -106,6 +108,7 @@ class Trainer:
         with_prev, use_box_mask = self.epoch_flags(epoch)
         t0 = time.time()
         n = 0
+        log_path = os.path.join(self.work_dir, "metrics.jsonl")
         for i, batch in enumerate(loader.epoch(epoch)):
             if max_steps is not None and i >= max_steps:
                 break
@@ -113,14 +116,18 @@ class Trainer:
             self.state, metrics = self.step_fn(self.state, dev_batch)
             n += 1
             if i % log_every == 0:
-                loss = float(metrics["loss_total"])
+                vals = {k: float(v) for k, v in metrics.items()}
                 dt = time.time() - t0
                 fps = n * self.cfg.batch_size / max(dt, 1e-9)
                 parts = " ".join(
-                    f"{k}={float(v):.3f}" for k, v in
-                    sorted(metrics.items()) if k.startswith("loss"))
+                    f"{k}={v:.3f}" for k, v in sorted(vals.items())
+                    if k.startswith("loss"))
                 print(f"epoch {epoch} iter {i}: {parts} "
                       f"({fps:.2f} frames/s)", flush=True)
+                with open(log_path, "a") as f:
+                    f.write(json.dumps(dict(
+                        epoch=epoch, iter=i, frames_per_s=fps,
+                        **vals)) + "\n")
         return n
 
     def fit(self, loader, start_epoch: int = 0,
