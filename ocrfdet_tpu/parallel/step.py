@@ -93,7 +93,9 @@ def build_train_step(cfg: OcRFDetConfig, model, tx,
             out_specs=(rep, rep))
         return sharded(state, batch)
 
-    return jax.jit(train_step)
+    # donate the (large) state so the update happens in place instead
+    # of copying ~GBs of params/opt/EMA every step
+    return jax.jit(train_step, donate_argnums=0)
 
 
 def build_eval_step(cfg: OcRFDetConfig, model, mesh: Mesh) -> Callable:
