@@ -33,14 +33,18 @@ def bench_train(batch_size: int, steps: int, with_ocrf: bool):
     from ocrfdet_tpu.train.optim import create_train_state, make_optimizer
 
     from ocrfdet_tpu.utils.fast_init import fast_init
+    from ocrfdet_tpu.utils.runtime import (enable_compilation_cache,
+                                           shard_batch, shard_state)
 
+    enable_compilation_cache()
     cfg = ocrfdet_config(batch_size=batch_size, with_ocrf=with_ocrf)
-    batch = _to_jnp(make_batch(cfg, batch_size=batch_size, seed=0))
     variables, model = fast_init(cfg, OcRFDet, train=True)
     tx = make_optimizer(cfg.optim, variables["params"],
                         steps_per_epoch=1000)
-    state = create_train_state(variables, tx)
     mesh = make_mesh(data=jax.device_count(), space=1)
+    state = shard_state(mesh, create_train_state(variables, tx))
+    batch = shard_batch(mesh, make_batch(cfg, batch_size=batch_size,
+                                         seed=0))
     step_fn = build_train_step(cfg, model, tx, mesh)
 
     # compile + warmup

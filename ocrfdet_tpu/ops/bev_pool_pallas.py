@@ -11,8 +11,10 @@ VMEM-resident accumulator:
     on-chip memory instead of the serialised HBM read-modify-write
     stream XLA emits for non-unique scatters;
   * the per-point (weight, pixel, cell) streams arrive chunk by chunk
-    through the normal pipelined BlockSpecs; context features are
-    VMEM-resident (npix x C ~ 2 MB).
+    through the normal pipelined BlockSpecs into SMEM — the scalar
+    core reads them with arbitrary dynamic indices (VMEM vector loads
+    must be lane-aligned, which a per-point stream cannot prove);
+    context features are VMEM-resident (npix x C ~ 2 MB).
 
 Forward:  out[b, cell, :] = sum over points p with cell_p == cell of
           w[b, p] * feat[b, pix_p, :]
@@ -33,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 32768
+CHUNK = 2048  # per-grid-step point chunk; 3 streams x CHUNK fits SMEM
 
 
 def _interpret() -> bool:
@@ -104,7 +106,7 @@ def _forward(w, pix_id, cell_id, feat, cells):
         w.astype(jnp.float32), pix_id, cell_id, cells)
     n_chunks = Pp // CHUNK
     stream = lambda: pl.BlockSpec((None, CHUNK), lambda b, c: (b, c),
-                                  memory_space=pltpu.VMEM)
+                                  memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         _fwd_kernel,
         grid=(B, n_chunks),
@@ -140,7 +142,7 @@ def _bwd_rule(cells, res, g):
         w.astype(jnp.float32), pix_id, cell_id, cells)
     n_chunks = Pp // CHUNK
     stream = lambda: pl.BlockSpec((None, CHUNK), lambda b, c: (b, c),
-                                  memory_space=pltpu.VMEM)
+                                  memory_space=pltpu.SMEM)
     dfeat, dw = pl.pallas_call(
         _bwd_kernel,
         grid=(B, n_chunks),

@@ -110,8 +110,11 @@ def create_train_state(variables, tx) -> TrainState:
         params=params,
         batch_stats=batch_stats,
         opt_state=tx.init(params),
+        # jnp.array(copy=True): astype(f32) on an f32 leaf is a no-op
+        # alias, and an aliased EMA tree makes the donated train step
+        # fail with "attempt to donate the same buffer twice"
         ema_params=jax.tree.map(
-            lambda x: x.astype(jnp.float32), params),
+            lambda x: jnp.array(x, jnp.float32, copy=True), params),
         ema_batch_stats=jax.tree.map(
-            lambda x: x.astype(jnp.float32), batch_stats),
+            lambda x: jnp.array(x, jnp.float32, copy=True), batch_stats),
     )

@@ -24,22 +24,21 @@ from ..config import OcRFDetConfig
 from ..models.detector import OcRFDet
 from ..parallel.mesh import make_mesh
 from ..parallel.step import build_train_step
+from ..utils.runtime import (enable_compilation_cache, shard_batch,
+                             shard_state)
 from .optim import TrainState, create_train_state, make_optimizer
 
 
-def _device_batch(batch: Dict[str, np.ndarray], with_prev: float,
+def _device_batch(mesh, batch: Dict[str, np.ndarray], with_prev: float,
                   use_box_mask: float):
     out = {}
     for k, v in batch.items():
         if k in ("gt_boxes", "gt_labels", "sample_token"):
             continue
-        if isinstance(v, list):
-            out[k] = [jnp.asarray(x) for x in v]
-        else:
-            out[k] = jnp.asarray(v)
-    out["with_prev"] = jnp.asarray(with_prev, dtype=jnp.float32)
-    out["use_box_mask"] = jnp.asarray(use_box_mask, dtype=jnp.float32)
-    return out
+        out[k] = v
+    out["with_prev"] = np.asarray(with_prev, dtype=np.float32)
+    out["use_box_mask"] = np.asarray(use_box_mask, dtype=np.float32)
+    return shard_batch(mesh, out)
 
 
 class Trainer:
@@ -48,6 +47,7 @@ class Trainer:
         self.cfg = cfg
         self.work_dir = work_dir
         os.makedirs(work_dir, exist_ok=True)
+        enable_compilation_cache()
         self.model = OcRFDet(cfg)
         space = cfg.parallel.space_axis
         data = min(jax.device_count() // space, cfg.batch_size)
@@ -66,7 +66,12 @@ class Trainer:
             self.cfg, OcRFDet, rng_seed=self.cfg.seed, train=True)
         self.tx = make_optimizer(self.cfg.optim, variables["params"],
                                  self.steps_per_epoch)
-        self.state = create_train_state(variables, self.tx)
+        # commit to the mesh up front: a donated step returns state with
+        # the mesh's NamedSharding, and jit keys its cache on input
+        # shardings — an uncommitted first state would force a second
+        # full compile on step 2.
+        self.state = shard_state(self.mesh,
+                                 create_train_state(variables, self.tx))
         self.step_fn = build_train_step(self.cfg, self.model, self.tx,
                                         self.mesh)
         n_params = sum(x.size for x in
@@ -93,7 +98,7 @@ class Trainer:
             meta = json.load(f)
         ckptr = ocp.StandardCheckpointer()
         restored = ckptr.restore(meta["path"], self.state._asdict())
-        self.state = TrainState(**restored)
+        self.state = shard_state(self.mesh, TrainState(**restored))
         return meta["epoch"] + 1
 
     # -------------------------------------------------------- running
@@ -112,7 +117,8 @@ class Trainer:
         for i, batch in enumerate(loader.epoch(epoch)):
             if max_steps is not None and i >= max_steps:
                 break
-            dev_batch = _device_batch(batch, with_prev, use_box_mask)
+            dev_batch = _device_batch(self.mesh, batch, with_prev,
+                                      use_box_mask)
             self.state, metrics = self.step_fn(self.state, dev_batch)
             n += 1
             if i % log_every == 0:

@@ -43,16 +43,18 @@ def fast_init(cfg: OcRFDetConfig, model_cls, rng_seed: int = 0,
     # Initialise on the host CPU backend: remote-TPU compilation of the
     # throwaway init graph costs minutes through the tunnel; CPU
     # compiles locally in seconds and the params transfer on first use.
+    # One jit around the whole init: eager init dispatches hundreds of
+    # single-op compiles (each a fresh executable), which dominates
+    # start-up; a single traced+compiled init graph is ~10x faster.
+    init_fn = jax.jit(lambda rng, b: small_model.init(rng, b, train=train))
     try:
         cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
         cpu = None
     if cpu is not None and jax.default_backend() != "cpu":
         with jax.default_device(cpu):
-            variables = small_model.init(jax.random.PRNGKey(rng_seed),
-                                         jax.device_put(batch, cpu),
-                                         train=train)
+            variables = init_fn(jax.random.PRNGKey(rng_seed),
+                                jax.device_put(batch, cpu))
     else:
-        variables = small_model.init(jax.random.PRNGKey(rng_seed), batch,
-                                     train=train)
+        variables = init_fn(jax.random.PRNGKey(rng_seed), batch)
     return variables, model_cls(cfg)
