@@ -116,7 +116,9 @@ class ViewTransformerConfig:
     loss_depth_weight: float = 3.0
     loss_semantic_weight: float = 25.0
     depthnet: DepthNetConfig = field(default_factory=DepthNetConfig)
-    # renderer: 'xla' (reference compositor) or 'pallas' (tiled kernel)
+    # renderer: 'dense' (exact O(G*H*W) reference compositor), 'xla'
+    # (tiled, XLA scan composite) or 'pallas' (tiled, fused Pallas
+    # composite kernel — the TPU fast path)
     renderer: str = "pallas"
     render_image_size: Tuple[int, int] = (256, 704)
     znear: float = 0.01

@@ -35,7 +35,7 @@ import numpy as np
 from ...config import GridConfig, ViewTransformerConfig
 from ...geometry import frustum as FR
 from ...geometry.cameras import splat_camera
-from ...ops.grid_sample import bilinear_sample
+from ...ops.grid_sample import bilinear_sample_block
 from ...ops.splat import (preprocess_gaussians, quat_scale_to_cov3d,
                           render_gaussians_dense, render_gaussians_tiled)
 from ..fpn import resize_bilinear
@@ -182,7 +182,9 @@ class OcRFViewTransformer(nn.Module):
         py = uvd[..., 1] * H
 
         def one_cam(img, x, y):
-            return bilinear_sample(img, x, y)             # [...]
+            # block-packed sampling: one gather descriptor per voxel
+            # point instead of four (see ops/grid_sample.py)
+            return bilinear_sample_block(img, x, y)
 
         vals = jax.vmap(jax.vmap(one_cam))(images, px, py)  # [B,N,Z,Nq,C]
         vmask = valid[..., None].astype(vals.dtype)
@@ -244,9 +246,19 @@ class OcRFViewTransformer(nn.Module):
             alpha_parts.append(a.reshape(B, gN, *a.shape[1:]))
         alphas = jnp.concatenate(alpha_parts, axis=1)  # [B, N, H, W]
 
-        # alpha back-projected to voxels (correct sampling; see header)
-        alpha_lidar = self.sample_at_voxels(
-            alphas[..., None].astype(jnp.float32), uvd, valid)[..., 0]
+        # alpha back-projected to voxels (correct sampling; see header).
+        # In training the render branch also needs per-voxel RGB from
+        # the unnormalised images; sampling [alpha, rgb] as one C=4 map
+        # shares the gather descriptors (the dominant cost of this op)
+        # instead of running two full-resolution gather sets.
+        render_on = is_key and train
+        maps = alphas[..., None].astype(jnp.float32)
+        if render_on:
+            imgs_rgb = batch["imgs_wo_norm"].astype(jnp.float32) / 255.0
+            maps = jnp.concatenate([maps, imgs_rgb], axis=-1)
+        sampled = self.sample_at_voxels(maps, uvd, valid)
+        alpha_lidar = sampled[..., 0]
+        vox_rgb = sampled[..., 1:4] if render_on else None
         alpha_vox = alpha_lidar.reshape(B, Zh, cfg.bev_h, cfg.bev_w)
         opac_vox = opacity.reshape(B, Zh, cfg.bev_h, cfg.bev_w)
 
@@ -282,25 +294,27 @@ class OcRFViewTransformer(nn.Module):
             opacity_bev_logit=opacity_bev_logit,
         )
 
-        if is_key and train:
+        if render_on:
             aux.update(self.render_branch(
-                x, cams, batch, voxel_feat, opacity, uvd, valid, alphas))
+                x, cams, batch, voxel_feat, opacity, vox_rgb, alphas))
         return geom_feat, aux
 
     # ------------------------------------------------------------------
     def render_branch(self, x, cams: CameraParams, batch, voxel_feat,
-                      opacity, uvd, valid, alphas):
-        """Training-only rendering of one random camera per sample."""
+                      opacity, vox_rgb, alphas):
+        """Training-only rendering of one random camera per sample.
+
+        vox_rgb [B, Z, Nq, 3]: voxel colours from the unnormalised
+        images, sampled jointly with the alpha back-projection in
+        __call__ (shared gathers).
+        """
         cfg = self.cfg
         B, N = x.shape[:2]
         Zh = cfg.num_height
         Nq = cfg.bev_h * cfg.bev_w
         H, W = cfg.render_image_size
         cam_idx = batch["render_cam"]                   # [B]
-
-        # voxel colours from unnormalised images (masked mean over cams)
         imgs_rgb = batch["imgs_wo_norm"].astype(jnp.float32) / 255.0
-        vox_rgb = self.sample_at_voxels(imgs_rgb, uvd, valid)  # [B,Z,Nq,3]
 
         # gaussian parameters
         g_in = voxel_feat.reshape(B, Zh * Nq, -1)
@@ -349,7 +363,9 @@ class OcRFViewTransformer(nn.Module):
                 return img, dep
             img, dep, _ = render_gaussians_tiled(
                 g, color_b.astype(jnp.float32),
-                opac_b.astype(jnp.float32), H, W)
+                opac_b.astype(jnp.float32), H, W,
+                backend=("pallas" if cfg.renderer == "pallas"
+                         else "xla"))
             return img, dep
 
         cam_axes = type(sc)(w2c=0, proj=0, cam_center=0, tan_fovx=0,

