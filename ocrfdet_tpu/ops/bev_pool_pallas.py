@@ -35,6 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..utils.vma import union_vma
+
 CHUNK = 2048  # per-grid-step point chunk; 3 streams x CHUNK fits SMEM
 
 
@@ -118,7 +120,9 @@ def _forward(w, pix_id, cell_id, feat, cells):
         out_specs=pl.BlockSpec((None, cells + 1, Cp),
                                lambda b, c: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, cells + 1, Cp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, cells + 1, Cp), jnp.float32,
+                                       vma=union_vma(w, pix_id, cell_id,
+                                                     featp)),
         interpret=_interpret(),
     )(w, pix_id, cell_id, featp)
     return out[:, :cells, :C]
@@ -159,8 +163,10 @@ def _bwd_rule(cells, res, g):
             stream(),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, npix, Cp), jnp.float32),
-            jax.ShapeDtypeStruct((B, Pp), jnp.float32),
+            jax.ShapeDtypeStruct((B, npix, Cp), jnp.float32,
+                                 vma=union_vma(wp, featp, gp)),
+            jax.ShapeDtypeStruct((B, Pp), jnp.float32,
+                                 vma=union_vma(wp, featp, gp)),
         ),
         interpret=_interpret(),
     )(wp, pix_p, cell_p, featp, gp)

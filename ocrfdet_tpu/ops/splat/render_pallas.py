@@ -46,6 +46,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...utils.vma import union_vma
 from .render_xla import ALPHA_EPS, MEDIAN_DEPTH_DEFAULT
 
 TILE_GROUP = 8   # tiles per grid step; sublane dim must be 8-aligned
@@ -260,7 +261,8 @@ def _composite_fwd(packed, n_tiles, n_tx, tile_h, tile_w):
         grid=grid,
         in_specs=[stream] * len(arrs),
         out_specs=(pix,) * 5,
-        out_shape=tuple(jax.ShapeDtypeStruct((Tp, P), jnp.float32)
+        out_shape=tuple(jax.ShapeDtypeStruct((Tp, P), jnp.float32,
+                                             vma=union_vma(*arrs))
                         for _ in range(5)),
         scratch_shapes=[pltpu.VMEM((TILE_GROUP, P), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -292,7 +294,8 @@ def _composite_bwd(n_tiles, n_tx, tile_h, tile_w, res, cts):
         grid=grid,
         in_specs=[stream] * len(arrs) + [pix] * len(pix_ins),
         out_specs=(stream,) * 10,
-        out_shape=tuple(jax.ShapeDtypeStruct((Tp, Mp), jnp.float32)
+        out_shape=tuple(jax.ShapeDtypeStruct(
+            (Tp, Mp), jnp.float32, vma=union_vma(*arrs, *pix_ins))
                         for _ in range(10)),
         scratch_shapes=[pltpu.VMEM((TILE_GROUP, P), jnp.float32),
                         pltpu.VMEM((TILE_GROUP, P), jnp.float32)],

@@ -48,13 +48,14 @@ def test_dp_train_step_runs_and_updates():
     state = create_train_state(variables, tx)
     step_fn = build_train_step(cfg, model, tx, mesh)
 
+    # the step donates its input state: snapshot before stepping
+    p0 = np.asarray(jax.tree.leaves(state.params)[0])
     state2, metrics = step_fn(state, batch)
     assert int(state2.step) == 1
     assert np.isfinite(float(metrics["loss_total"]))
     # params changed
-    p0 = jax.tree.leaves(state.params)[0]
     p1 = jax.tree.leaves(state2.params)[0]
-    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+    assert not np.allclose(p0, np.asarray(p1))
     # second step reuses the compiled program
     state3, metrics3 = step_fn(state2, batch)
     assert int(state3.step) == 2
@@ -72,7 +73,8 @@ def test_dp_step_deterministic_and_2axis_mesh():
     mesh = make_mesh(data=4, space=2)
     state = create_train_state(variables, tx)
     step_fn = build_train_step(cfg, model, tx, mesh)
-    _, m1 = step_fn(state, batch)
+    # the step donates its input: run from two identical copies
+    _, m1 = step_fn(jax.tree.map(jnp.copy, state), batch)
     _, m2 = step_fn(state, batch)
     np.testing.assert_allclose(float(m1["loss_total"]),
                                float(m2["loss_total"]), rtol=0)
