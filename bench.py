@@ -4,8 +4,10 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 The reference publishes no throughput numbers (SURVEY.md §6), so
-vs_baseline is reported against this framework's own first-light
-figure (self-relative; 1.0 = current measurement defines the baseline).
+vs_baseline is reported against this framework's own committed round-1
+figure (BENCH_r01.json: 2.1367 frames/s at batch 2 on one v5e chip).
+Also reports MFU from XLA's compiled cost analysis of the full train
+step (fwd + bwd + AdamW + EMA).
 """
 from __future__ import annotations
 
@@ -15,6 +17,26 @@ import sys
 import time
 
 import numpy as np
+
+R01_FRAMES_PER_S = 2.1367   # committed round-1 baseline (BENCH_r01.json)
+
+# bf16 peak matmul throughput per chip, by device_kind prefix
+_PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,     # v5p
+    "TPU v6": 918e12,     # v6e/trillium
+}
+
+
+def _peak_flops_per_s() -> float:
+    import jax
+    kind = jax.devices()[0].device_kind
+    for prefix in sorted(_PEAK_FLOPS, key=len, reverse=True):
+        if kind.startswith(prefix):
+            return _PEAK_FLOPS[prefix]
+    return 197e12
 
 
 def _to_jnp(batch):
@@ -57,7 +79,16 @@ def bench_train(batch_size: int, steps: int, with_ocrf: bool):
     jax.block_until_ready(metrics["loss_total"])
     dt = time.perf_counter() - t0
     frames_per_s = batch_size * steps / dt
-    return frames_per_s, float(metrics["loss_total"])
+
+    mfu = None
+    try:
+        cost = step_fn.lower(state, batch).compile().cost_analysis()
+        step_flops = float(cost.get("flops", float("nan")))
+        mfu = step_flops / (dt / steps) / _peak_flops_per_s()
+    except Exception as e:  # noqa: BLE001 - cost analysis is best-effort
+        print(f"bench: cost analysis unavailable: {e!r}", file=sys.stderr)
+        step_flops = float("nan")
+    return frames_per_s, float(metrics["loss_total"]), mfu, step_flops
 
 
 def main():
@@ -73,16 +104,20 @@ def main():
     last_err = None
     for bs in candidates:
         try:
-            fps, loss = bench_train(bs, args.steps,
-                                    with_ocrf=not args.no_ocrf)
-            print(json.dumps({
+            fps, loss, mfu, step_flops = bench_train(
+                bs, args.steps, with_ocrf=not args.no_ocrf)
+            rec = {
                 "metric": "ocrfdet_train_frames_per_s_per_chip",
                 "value": round(fps, 4),
                 "unit": "frames/s",
-                "vs_baseline": 1.0,
+                "vs_baseline": round(fps / R01_FRAMES_PER_S, 4),
                 "batch_size": bs,
                 "final_loss": round(loss, 4),
-            }))
+            }
+            if mfu is not None and np.isfinite(mfu):
+                rec["mfu"] = round(mfu, 4)
+                rec["step_tflops"] = round(step_flops / 1e12, 3)
+            print(json.dumps(rec))
             return
         except Exception as e:  # noqa: BLE001 - fall back to smaller batch
             last_err = e

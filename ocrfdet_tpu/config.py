@@ -89,16 +89,20 @@ class DepthNetConfig:
     mid_channels: int = 256
     use_aspp: bool = True
     aspp_mid_channels: int = 96
+    # reference ASPP ends with Dropout(0.5) (view_transformer.py:395);
+    # active only in the sharded train step (needs a 'dropout' rng)
+    aspp_dropout: float = 0.5
     stereo: bool = True
     cost_volume_bias: float = 5.0
     cost_volume_group_size: int = 4
     # Stereo cost-volume resolution. The reference computes at /4 and
     # conv-downsamples to /16 before use (view_transformer.py:614-616).
-    # TPU default is /16 directly: the plane-sweep gather is the single
-    # hottest op on TPU (measured 0.57 s/frame at /4 on v5e) and the
-    # extra /4 detail is discarded by the stride-2 convs anyway. Set 4
-    # to reproduce reference behaviour exactly.
-    cv_downsample: int = 16
+    # Reference computes the stereo cost volume at /4
+    # (view_transformer.py:568-616); that is the default until an
+    # accuracy run proves coarser variants harmless. Set 16 for the
+    # fast opt-in (skips the 4x4 finer plane sweep whose detail the
+    # stride-2 cv convs discard).
+    cv_downsample: int = 4
 
 
 @dataclass(frozen=True)
@@ -291,7 +295,8 @@ def tiny_config(**overrides) -> OcRFDetConfig:
         vt=ViewTransformerConfig(
             in_channels=64, out_channels=16, downsample=16,
             bev_h=16, bev_w=16, num_height=5,
-            depthnet=DepthNetConfig(mid_channels=32, aspp_mid_channels=16),
+            depthnet=DepthNetConfig(mid_channels=32, aspp_mid_channels=16,
+                                    aspp_dropout=0.0),
             render_image_size=(64, 176),
             renderer="xla",
         ),

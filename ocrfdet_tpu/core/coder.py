@@ -70,7 +70,9 @@ def decode_all_tasks(preds: List[Dict[str, jnp.ndarray]], head_cfg,
                      grid) -> List[DecodedBoxes]:
     return [
         decode_task(
-            p, head_cfg.pre_max_size, head_cfg.out_size_factor,
+            # reference decodes max_num=500 per task (test_cfg via
+            # centerpoint_bbox_coders.py:117-229), NOT pre_max_size
+            p, head_cfg.max_num, head_cfg.out_size_factor,
             head_cfg.voxel_size, (grid.x[0], grid.y[0]),
             head_cfg.post_center_range, head_cfg.score_threshold)
         for p in preds

@@ -58,6 +58,7 @@ class ASPP(nn.Module):
     dilations (1, 6, 12, 18) + global pooling branch, concat -> 1x1."""
     mid_channels: int
     out_channels: int
+    dropout: float = 0.5
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -80,10 +81,13 @@ class ASPP(nn.Module):
                     dtype=self.dtype)(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype)(y)
-        # the reference follows with Dropout(0.5); intentionally omitted
-        # (deterministic step; dropout on the depth tower is a known
-        # stability hazard and eval parity is unaffected).
-        return nn.relu(y)
+        y = nn.relu(y)
+        # reference ends with Dropout(0.5) (view_transformer.py:395,412);
+        # applied only when a 'dropout' rng is threaded (the sharded
+        # train step does; plain apply() calls stay deterministic).
+        if self.dropout > 0 and train and self.has_rng("dropout"):
+            y = nn.Dropout(self.dropout, deterministic=False)(y)
+        return y
 
 
 def stereo_cost_volume(curr_feat, prev_feat, cv_frustum, k2s_sensor, intrins,
@@ -171,7 +175,8 @@ class DepthNet(nn.Module):
     stereo: bool = True
     use_aspp: bool = True
     aspp_mid_channels: int = 96
-    cv_downsample: int = 16
+    aspp_dropout: float = 0.5
+    cv_downsample: int = 4
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -228,6 +233,7 @@ class DepthNet(nn.Module):
                            name="depth_block2")(depth, train)
         if self.use_aspp:
             depth = ASPP(self.aspp_mid_channels, self.mid_channels,
+                         dropout=self.aspp_dropout,
                          dtype=self.dtype, name="aspp")(depth, train)
         depth = nn.Conv(self.depth_channels, (1, 1), dtype=self.dtype,
                         name="depth_pred")(depth)

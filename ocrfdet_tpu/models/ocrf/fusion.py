@@ -186,8 +186,11 @@ class LearnedPositionalEncoding(nn.Module):
 
 
 def bev_centerness_weight(nx: int, ny: int) -> np.ndarray:
-    """sqrt-normalised distance-from-centre + 1 (reference :244-251)."""
-    xs, ys = np.meshgrid(np.arange(nx), np.arange(nx), indexing="ij")
+    """sqrt-normalised distance-from-centre + 1 (reference :244-251).
+
+    The reference ignores ny (meshgrids nx twice) — identical on the
+    square flagship grid; corrected here for non-square grids."""
+    xs, ys = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
     gx = (xs - nx // 2) / (nx // 2)
-    gy = (ys - nx // 2) / (nx // 2)
+    gy = (ys - ny // 2) / (ny // 2)
     return np.sqrt((gx ** 2 + gy ** 2) / 2.0) + 1.0

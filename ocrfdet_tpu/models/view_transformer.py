@@ -64,6 +64,7 @@ class LSSViewTransformer(nn.Module):
             stereo=self.cfg.depthnet.stereo,
             use_aspp=self.cfg.depthnet.use_aspp,
             aspp_mid_channels=self.cfg.depthnet.aspp_mid_channels,
+            aspp_dropout=self.cfg.depthnet.aspp_dropout,
             cv_downsample=self.cfg.depthnet.cv_downsample,
             dtype=self.dtype,
             name="depth_net")

@@ -98,6 +98,17 @@ def bev_pool_points(w, pix_id, cell_id, feat, cells: int):
     return _forward(w, pix_id, cell_id, feat, cells)
 
 
+def _use_mirror(*arrs) -> bool:
+    """True when interpreting inside shard_map (check_vma on).
+
+    jax 0.9's Pallas HLO interpreter cannot be evaluated under
+    shard_map(check_vma=True) (its internal grid-scan carries are not
+    vma-tracked), so off-TPU with varying inputs we run a pure-JAX
+    scatter-add mirror of the kernel; the real Mosaic path (with vma
+    out_shape declarations) is used on TPU."""
+    return _interpret() and union_vma(*arrs) is not None
+
+
 def _forward(w, pix_id, cell_id, feat, cells):
     B, P = w.shape
     npix, C = feat.shape[1:]
@@ -106,6 +117,12 @@ def _forward(w, pix_id, cell_id, feat, cells):
                     ((0, 0), (0, 0), (0, Cp - C)))
     w, pix_id, cell_id, Pp = _pad_points(
         w.astype(jnp.float32), pix_id, cell_id, cells)
+    if _use_mirror(w, pix_id, cell_id, featp):
+        bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+        rows = featp[bidx, pix_id] * w[..., None]      # [B, Pp, Cp]
+        out = jnp.zeros((B, cells + 1, Cp), jnp.float32)
+        out = out.at[bidx, cell_id].add(rows)
+        return out[:, :cells, :C]
     n_chunks = Pp // CHUNK
     stream = lambda: pl.BlockSpec((None, CHUNK), lambda b, c: (b, c),
                                   memory_space=pltpu.SMEM)
@@ -144,6 +161,15 @@ def _bwd_rule(cells, res, g):
                  ((0, 0), (0, 1), (0, Cp - C)))   # dummy row reads 0
     wp, pix_p, cell_p, Pp = _pad_points(
         w.astype(jnp.float32), pix_id, cell_id, cells)
+    if _use_mirror(wp, pix_p, cell_p, featp, gp):
+        bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+        grow = gp[bidx, cell_p]                         # [B, Pp, Cp]
+        featrow = featp[bidx, pix_p]
+        dw = jnp.sum(featrow * grow, axis=-1)
+        dfeat = jnp.zeros_like(featp).at[bidx, pix_p].add(
+            grow * wp[..., None])
+        return (dw[:, :P].astype(w.dtype), None, None,
+                dfeat[:, :, :C].astype(feat.dtype))
     n_chunks = Pp // CHUNK
     stream = lambda: pl.BlockSpec((None, CHUNK), lambda b, c: (b, c),
                                   memory_space=pltpu.SMEM)

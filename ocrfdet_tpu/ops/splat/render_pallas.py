@@ -46,7 +46,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...utils.vma import union_vma
+from ...utils.vma import match_vma, union_vma
 from .render_xla import ALPHA_EPS, MEDIAN_DEPTH_DEFAULT
 
 TILE_GROUP = 8   # tiles per grid step; sublane dim must be 8-aligned
@@ -83,13 +83,13 @@ def _pixel_coords(tg, P, n_tx, tile_h, tile_w):
     return px, py
 
 
-def _chunk_quantities(refs, px, py):
+def _chunk_quantities(vals, px, py):
     """Recompute per-(gaussian, pixel) alphas for one chunk.
 
-    refs: (mx, my, ca, cb, cc, rad, dep, op) block refs of [tg, K].
+    vals: (mx, my, ca, cb, cc, rad, dep, op) arrays of [tg, K].
     Returns dict of [tg, K, P] / [tg, K, 1] tensors shared by fwd/bwd.
     """
-    mx, my, ca, cb, cc, rad, dep, op = [r[...] for r in refs]
+    mx, my, ca, cb, cc, rad, dep, op = vals
     dx = px[:, None, :] - mx[..., None]            # [tg, K, P]
     dy = py[:, None, :] - my[..., None]
     power = (-0.5 * (ca[..., None] * dx * dx + cc[..., None] * dy * dy)
@@ -122,7 +122,8 @@ def _fwd_kernel(n_tx, tile_h, tile_w,
         out_med[...] = jnp.full_like(out_med, MEDIAN_DEPTH_DEFAULT)
         found[...] = jnp.zeros_like(found)
 
-    q = _chunk_quantities((mx, my, ca, cb, cc, rad, dep, op), px, py)
+    q = _chunk_quantities(
+        tuple(r[...] for r in (mx, my, ca, cb, cc, rad, dep, op)), px, py)
     alpha, cum_in, log1m = q["alpha"], q["cum_in"], q["log1m"]
     log_t = out_logt[...]
     excl = cum_in - log1m
@@ -159,7 +160,8 @@ def _bwd_kernel(n_tx, tile_h, tile_w,
         logt_run[...] = jnp.zeros_like(logt_run)
         gpre[...] = jnp.zeros_like(gpre)
 
-    q = _chunk_quantities((mx, my, ca, cb, cc, rad, dep, op), px, py)
+    q = _chunk_quantities(
+        tuple(r[...] for r in (mx, my, ca, cb, cc, rad, dep, op)), px, py)
     alpha, cum_in, log1m = q["alpha"], q["cum_in"], q["log1m"]
     log_t = logt_run[...]
     excl = cum_in - log1m
@@ -208,6 +210,118 @@ def _bwd_kernel(n_tx, tile_h, tile_w,
         cum_in, cum_in.shape[1] - 1, axis=1, keepdims=False)
 
 
+def _use_mirror(*arrs) -> bool:
+    """True when interpreting inside shard_map (check_vma on).
+
+    jax 0.9's Pallas HLO interpreter does not vma-track its internal
+    grid-scan carries, so pallas_call cannot be interpreted under
+    shard_map(check_vma=True). Off-TPU with varying inputs we therefore
+    run a chunk-for-chunk pure-JAX mirror of the kernel (same math,
+    same CHUNK accumulation order); the real Mosaic path (with vma
+    out_shape declarations) is used on TPU."""
+    return _interpret() and union_vma(*arrs) is not None
+
+
+def _mirror_pixel_coords(Tp, P, n_tx, tile_h, tile_w):
+    t = jnp.arange(Tp, dtype=jnp.int32)
+    p = jnp.arange(P, dtype=jnp.int32)
+    px = ((t % n_tx)[:, None] * tile_w + p[None, :] % tile_w)
+    py = ((t // n_tx)[:, None] * tile_h + p[None, :] // tile_w)
+    return px.astype(jnp.float32), py.astype(jnp.float32)
+
+
+def _mirror_chunks(arrs, Mp):
+    """[n_streams arrays of [Tp, Mp]] -> [n_k, n_streams, Tp, CHUNK]."""
+    stacked = jnp.stack(arrs)                       # [S, Tp, Mp]
+    S, Tp, _ = stacked.shape
+    return stacked.reshape(S, Tp, Mp // CHUNK, CHUNK).transpose(2, 0, 1, 3)
+
+
+def _mirror_fwd(arrs, Tp, Mp, n_tx, tile_h, tile_w):
+    """Pure-JAX mirror of _fwd_kernel: lax.scan over CHUNK slices."""
+    P = tile_h * tile_w
+    px, py = _mirror_pixel_coords(Tp, P, n_tx, tile_h, tile_w)
+    z = jnp.zeros((Tp, P), jnp.float32)
+    init = dict(r=z, g=z, b=z, logt=z, found=z,
+                med=jnp.full((Tp, P), MEDIAN_DEPTH_DEFAULT, jnp.float32))
+    init = jax.tree.map(lambda x: match_vma(x, arrs[0]), init)
+
+    def body(c, chunk):
+        mx, my, ca, cb, cc, rad, dep, op, cr, cg, cbc = chunk
+        q = _chunk_quantities((mx, my, ca, cb, cc, rad, dep, op), px, py)
+        alpha, cum_in, log1m = q["alpha"], q["cum_in"], q["log1m"]
+        excl = cum_in - log1m
+        t_here = jnp.exp(c["logt"][:, None, :] + excl)
+        w = alpha * t_here
+        t_after = jnp.exp(c["logt"][:, None, :] + cum_in)
+        crossed = (t_after < 0.5) & (alpha > 0.0)
+        med_c = jnp.min(jnp.where(crossed, dep[..., None], MED_BIG), axis=1)
+        fresh = (c["found"] == 0.0) & (med_c < MED_BIG)
+        return dict(
+            r=c["r"] + jnp.sum(w * cr[..., None], axis=1),
+            g=c["g"] + jnp.sum(w * cg[..., None], axis=1),
+            b=c["b"] + jnp.sum(w * cbc[..., None], axis=1),
+            logt=c["logt"] + cum_in[:, -1, :],
+            med=jnp.where(fresh, med_c, c["med"]),
+            found=jnp.maximum(
+                c["found"], jnp.any(crossed, axis=1).astype(jnp.float32)),
+        ), None
+
+    c, _ = jax.lax.scan(body, init, _mirror_chunks(arrs, Mp))
+    return c["r"], c["g"], c["b"], c["logt"], c["med"]
+
+
+def _mirror_bwd(arrs, pix_ins, Tp, Mp, n_tx, tile_h, tile_w):
+    """Pure-JAX mirror of _bwd_kernel (suffix-trick re-traversal)."""
+    P = tile_h * tile_w
+    px, py = _mirror_pixel_coords(Tp, P, n_tx, tile_h, tile_w)
+    tot_r, tot_g, tot_b, gr, gg, gb, g_logt, g_med = pix_ins
+    gt = gr * tot_r + gg * tot_g + gb * tot_b
+    z = jnp.zeros((Tp, P), jnp.float32)
+    init = dict(logt=match_vma(z, arrs[0]), gpre=match_vma(z, arrs[0]))
+
+    def body(c, chunk):
+        mx, my, ca, cb, cc, rad, dep, op, cr, cg, cbc = chunk
+        q = _chunk_quantities((mx, my, ca, cb, cc, rad, dep, op), px, py)
+        alpha, cum_in, log1m = q["alpha"], q["cum_in"], q["log1m"]
+        excl = cum_in - log1m
+        t_here = jnp.exp(c["logt"][:, None, :] + excl)
+        w = alpha * t_here
+        gc = (gr[:, None, :] * cr[..., None]
+              + gg[:, None, :] * cg[..., None]
+              + gb[:, None, :] * cbc[..., None])
+        gpre_i = c["gpre"][:, None, :] + _cumsum1(w * gc)
+        suffix = gt[:, None, :] - gpre_i
+        one_m = 1.0 - alpha
+        dalpha = (gc * t_here - suffix / one_m
+                  - g_logt[:, None, :] / one_m)
+        live = (q["keep"] & (q["raw"] < 0.99)).astype(jnp.float32)
+        dalpha = dalpha * live
+        dpow = dalpha * op[..., None] * q["e"] \
+            * (q["power"] < 0.0).astype(jnp.float32)
+        dx, dy = q["dx"], q["dy"]
+        t_after = jnp.exp(c["logt"][:, None, :] + cum_in)
+        sel = ((t_here >= 0.5) & (t_after < 0.5)
+               & (alpha > 0.0)).astype(jnp.float32)
+        outs = (
+            jnp.sum(dpow * (ca[..., None] * dx + cb[..., None] * dy), axis=2),
+            jnp.sum(dpow * (cc[..., None] * dy + cb[..., None] * dx), axis=2),
+            jnp.sum(dpow * (-0.5 * dx * dx), axis=2),
+            jnp.sum(dpow * (-dx * dy), axis=2),
+            jnp.sum(dpow * (-0.5 * dy * dy), axis=2),
+            jnp.sum(g_med[:, None, :] * sel, axis=2),
+            jnp.sum(dalpha * q["e"], axis=2),
+            jnp.sum(w * gr[:, None, :], axis=2),
+            jnp.sum(w * gg[:, None, :], axis=2),
+            jnp.sum(w * gb[:, None, :], axis=2),
+        )
+        return dict(logt=c["logt"] + cum_in[:, -1, :],
+                    gpre=gpre_i[:, -1, :]), outs
+
+    _, ys = jax.lax.scan(body, init, _mirror_chunks(arrs, Mp))
+    return tuple(jnp.moveaxis(y, 0, 1).reshape(Tp, Mp) for y in ys)
+
+
 def _pad_tm(x, Tp, Mp, fill=0.0):
     T, M = x.shape
     if (T, M) == (Tp, Mp):
@@ -254,22 +368,26 @@ def _prep(packed, n_tiles):
 def _composite_fwd(packed, n_tiles, n_tx, tile_h, tile_w):
     arrs, T, Tp, Mp = _prep(packed, n_tiles)
     P = tile_h * tile_w
-    stream, pix = _specs(Tp, Mp, P, len(arrs))
-    grid = (Tp // TILE_GROUP, Mp // CHUNK)
-    outs = pl.pallas_call(
-        partial(_fwd_kernel, n_tx, tile_h, tile_w),
-        grid=grid,
-        in_specs=[stream] * len(arrs),
-        out_specs=(pix,) * 5,
-        out_shape=tuple(jax.ShapeDtypeStruct((Tp, P), jnp.float32,
-                                             vma=union_vma(*arrs))
-                        for _ in range(5)),
-        scratch_shapes=[pltpu.VMEM((TILE_GROUP, P), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
-        interpret=_interpret(),
-    )(*arrs)
-    r, g, b, logt, med = outs
+    if _use_mirror(*arrs):
+        r, g, b, logt, med = _mirror_fwd(arrs, Tp, Mp, n_tx,
+                                         tile_h, tile_w)
+    else:
+        stream, pix = _specs(Tp, Mp, P, len(arrs))
+        grid = (Tp // TILE_GROUP, Mp // CHUNK)
+        outs = pl.pallas_call(
+            partial(_fwd_kernel, n_tx, tile_h, tile_w),
+            grid=grid,
+            in_specs=[stream] * len(arrs),
+            out_specs=(pix,) * 5,
+            out_shape=tuple(jax.ShapeDtypeStruct((Tp, P), jnp.float32,
+                                                 vma=union_vma(*arrs))
+                            for _ in range(5)),
+            scratch_shapes=[pltpu.VMEM((TILE_GROUP, P), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=_interpret(),
+        )(*arrs)
+        r, g, b, logt, med = outs
     rgb = jnp.stack([r[:T], g[:T], b[:T]], axis=-1)
     res = (packed, r, g, b)
     return (rgb, med[:T], logt[:T]), res
@@ -287,24 +405,27 @@ def _composite_bwd(n_tiles, n_tx, tile_h, tile_w, res, cts):
     pix_ins = [tot_r, tot_g, tot_b,
                pad_tp(g_rgb[..., 0]), pad_tp(g_rgb[..., 1]),
                pad_tp(g_rgb[..., 2]), pad_tp(g_logt), pad_tp(g_med)]
-    stream, pix = _specs(Tp, Mp, P, len(arrs))
-    grid = (Tp // TILE_GROUP, Mp // CHUNK)
-    douts = pl.pallas_call(
-        partial(_bwd_kernel, n_tx, tile_h, tile_w),
-        grid=grid,
-        in_specs=[stream] * len(arrs) + [pix] * len(pix_ins),
-        out_specs=(stream,) * 10,
-        out_shape=tuple(jax.ShapeDtypeStruct(
-            (Tp, Mp), jnp.float32, vma=union_vma(*arrs, *pix_ins))
-                        for _ in range(10)),
-        scratch_shapes=[pltpu.VMEM((TILE_GROUP, P), jnp.float32),
-                        pltpu.VMEM((TILE_GROUP, P), jnp.float32)],
-        # the bwd working set (~18 MB of [tg, K, P] temporaries) is over
-        # the default 16 MB scoped-vmem limit; v5e+ have headroom
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
-        interpret=_interpret(),
-    )(*arrs, *pix_ins)
+    if _use_mirror(*arrs, *pix_ins):
+        douts = _mirror_bwd(arrs, pix_ins, Tp, Mp, n_tx, tile_h, tile_w)
+    else:
+        stream, pix = _specs(Tp, Mp, P, len(arrs))
+        grid = (Tp // TILE_GROUP, Mp // CHUNK)
+        douts = pl.pallas_call(
+            partial(_bwd_kernel, n_tx, tile_h, tile_w),
+            grid=grid,
+            in_specs=[stream] * len(arrs) + [pix] * len(pix_ins),
+            out_specs=(stream,) * 10,
+            out_shape=tuple(jax.ShapeDtypeStruct(
+                (Tp, Mp), jnp.float32, vma=union_vma(*arrs, *pix_ins))
+                            for _ in range(10)),
+            scratch_shapes=[pltpu.VMEM((TILE_GROUP, P), jnp.float32),
+                            pltpu.VMEM((TILE_GROUP, P), jnp.float32)],
+            # the bwd working set (~18 MB of [tg, K, P] temporaries) is
+            # over the default 16 MB scoped-vmem limit; v5e+ have headroom
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=_interpret(),
+        )(*arrs, *pix_ins)
     names = ("mx", "my", "ca", "cb", "cc", "dep", "op",
              "cr", "cg", "cb_col")
     Torig, Morig = packed["mx"].shape

@@ -41,10 +41,17 @@ def build_train_step(cfg: OcRFDetConfig, model, tx,
     arrays are sharded on their leading axis over `data`."""
 
     def local_step(state: TrainState, batch):
+        # per-step, per-shard dropout key (reference ASPP Dropout(0.5))
+        drop_key = jax.random.fold_in(
+            jax.random.fold_in(jax.random.PRNGKey(17), state.step),
+            jax.lax.axis_index("data") * 1024
+            + jax.lax.axis_index("space"))
+
         def loss_fn(params):
             (preds, aux), mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch, train=True, mutable=["batch_stats"])
+                batch, train=True, mutable=["batch_stats"],
+                rngs={"dropout": drop_key})
             mean_fn = lambda x: jax.lax.pmean(x, "data")
             losses = compute_losses(cfg, preds, aux, batch,
                                     mean_fn=mean_fn)

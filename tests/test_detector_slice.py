@@ -64,7 +64,7 @@ def test_slice_forward_loss_decode():
 
     # decode runs and produces sane shapes
     decoded = decode_all_tasks(preds, cfg.head, cfg.grid)
-    assert decoded[0].boxes.shape == (1, cfg.head.pre_max_size, 9)
+    assert decoded[0].boxes.shape == (1, cfg.head.max_num, 9)
 
 
 def test_slice_gradients_flow():
