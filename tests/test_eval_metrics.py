@@ -20,8 +20,9 @@ def test_perfect_detections():
     assert m["mASE"] < 1e-6
     assert m["mAOE"] < 1e-6
     assert m["mAVE"] < 1e-6
-    # NDS with mAAE=1 convention: (5*1 + 4*1 + 0)/10
-    np.testing.assert_allclose(m["NDS"], 0.9, atol=0.03)
+    # attrs derived from (class, velocity) on both sides -> mAAE 0,
+    # so perfect detections give NDS 1
+    np.testing.assert_allclose(m["NDS"], 1.0, atol=0.03)
 
 
 def test_no_detections():
@@ -87,3 +88,74 @@ def test_nusc_format_roundtrip(tmp_path):
     loaded = json.loads(p.read_text())
     assert loaded["meta"]["use_camera"]
     assert "tok0" in loaded["results"]
+
+
+def test_devkit_golden_ap_and_tp():
+    """Pins the evaluator to hand-computed devkit-spec values.
+
+    Scenario (one sample, class car): GTs at (0,0) and (10,0); preds
+    TP d=0.1 @0.9, FP @0.8, TP d=0.5 @0.7.  At dist_th=2:
+      rec=[.5,.5,1], prec=[1,.5,2/3] ->
+      AP = ((39*0.9 + 0.4 + 50*0.4 + (1/3)*12.75)/90)/0.9 = 0.737654
+      trans: cummean [0.1, 0.3] interpolated on the confidence grid,
+      averaged over recall 0.11..1.00 = 16.65/90 = 0.185
+      (a plain mean over TPs would give 0.3 — the devkit aggregation
+      is what this pins).
+    At dist_th=0.5 only the first pred matches:
+      AP = ((39*0.9 + max(1/3-0.1,0))/90)/0.9 = 0.436214
+    """
+    from ocrfdet_tpu.core.eval_metrics import calc_ap, calc_tp
+    ev = DetectionEvaluator(CLASS_NAMES)
+    gt = np.stack([_box(0, 0), _box(10, 0)])
+    det = np.stack([_box(0.1, 0), _box(5, 0), _box(10, 0.5)])
+    ev.add_sample(det, np.array([0.9, 0.8, 0.7]), np.array([0, 0, 0]),
+                  gt, np.array([0, 0]))
+    md2 = ev.accumulate(0, 2.0)
+    np.testing.assert_allclose(calc_ap(md2), 0.7376543, atol=1e-6)
+    np.testing.assert_allclose(calc_tp(md2, "trans_err"), 0.185,
+                               atol=1e-9)
+    md05 = ev.accumulate(0, 0.5)
+    np.testing.assert_allclose(calc_ap(md05), 0.4362140, atol=1e-6)
+    m = ev.evaluate()
+    np.testing.assert_allclose(m["mAP"], 0.6622942, atol=1e-6)
+    np.testing.assert_allclose(m["mATE"], 0.185, atol=1e-9)
+    np.testing.assert_allclose(m["NDS"], 0.8126471, atol=1e-6)
+
+
+def test_tp_error_is_one_below_min_recall():
+    """devkit calc_tp: max achieved recall < 0.1 -> error pinned 1.0."""
+    ev = DetectionEvaluator(CLASS_NAMES)
+    # 20 GTs, only one detected (recall 0.05 < min_recall 0.1)
+    gts = np.stack([_box(2 * i - 20, 0) for i in range(20)])
+    det = np.stack([_box(0.3, 0)])
+    ev.add_sample(det, np.array([0.9]), np.array([0]), gts,
+                  np.zeros(20, np.int64))
+    m = ev.evaluate()
+    assert m["mATE"] == 1.0
+    assert m["mASE"] == 1.0
+
+
+def test_class_range_filter():
+    """Devkit class_range: car beyond 50m is dropped from GT and preds."""
+    ev = DetectionEvaluator(CLASS_NAMES)
+    gt = np.stack([_box(10, 0), _box(49, 30)])   # second at 57m: dropped
+    det = np.stack([_box(10, 0)])
+    ev.add_sample(det, np.array([0.9]), np.array([0]), gt,
+                  np.array([0, 0]))
+    m = ev.evaluate()
+    assert m["mAP"] > 0.95   # recall 1/1, not 1/2
+
+
+def test_excluded_tp_metrics():
+    """traffic_cone has no orient/vel/attr error; barrier no vel/attr."""
+    ev = DetectionEvaluator(CLASS_NAMES)
+    cone = _box(5, 0, yaw=1.0, vel=(3, 0))
+    det = cone.copy()
+    det[6] = 2.5   # large yaw error that must NOT count
+    det[7] = -3.0
+    ev.add_sample(np.stack([det]), np.array([0.9]), np.array([9]),
+                  np.stack([cone]), np.array([9]))
+    m = ev.evaluate()
+    assert m["mAOE"] == 1.0   # nan-mean over zero defined classes -> 1
+    assert m["mAVE"] == 1.0
+    assert m["mATE"] < 1e-6
