@@ -276,6 +276,30 @@ def ocrfdet_config(**overrides) -> OcRFDetConfig:
     return dataclasses.replace(OcRFDetConfig(), **overrides)
 
 
+def geoenh_config(**overrides) -> OcRFDetConfig:
+    """GeoEnhDet flagship (configs/ocrfdet/ocrfdet_vggt.py deltas vs
+    the base: FPN out 512 ch, max_objs 1000, post_max_size 400,
+    warmup 1000 iters, batch 4/device, frozen VGGT-1B teacher)."""
+    base = OcRFDetConfig()
+    cfg = dataclasses.replace(
+        base,
+        vt=dataclasses.replace(base.vt, in_channels=512),
+        head=dataclasses.replace(base.head, max_objs=1000,
+                                 post_max_size=400),
+        optim=dataclasses.replace(base.optim, warmup_iters=1000),
+        vggt_teacher=VGGTTeacherConfig(),
+        batch_size=4,
+    )
+    return dataclasses.replace(cfg, **overrides)
+
+
+def ocrfdet_8f_config(**overrides) -> OcRFDetConfig:
+    """The 8-frame test-set variant (README.md:46-47):
+    multi_adj_frame_id_cfg=(1,8,1) -> 7 adjacent frames + key + stereo
+    ref. Everything else matches the flagship 2-frame config."""
+    return dataclasses.replace(OcRFDetConfig(), num_adj=7, **overrides)
+
+
 def tiny_config(**overrides) -> OcRFDetConfig:
     """CPU-runnable miniature: 2 cams, 64x176 images, 16x16 BEV.
 

@@ -175,6 +175,19 @@ class DetectionEvaluator:
                     else _attr_for(name, np.asarray(b[7:9])))
             self.gts[int(l)][sid].append((np.asarray(b), attr))
 
+    def merge(self, other: "DetectionEvaluator"):
+        """Fold another evaluator's accumulated samples into this one
+        (multi-process eval gather; sample ids are re-based so the
+        greedy per-sample matching is unaffected)."""
+        off = self.n_samples
+        for cls, lst in other.preds.items():
+            self.preds[cls].extend(
+                (s, sid + off, b, a) for (s, sid, b, a) in lst)
+        for cls, per_sample in other.gts.items():
+            for sid, lst in per_sample.items():
+                self.gts[cls][sid + off].extend(lst)
+        self.n_samples += other.n_samples
+
     # ------------------------------------------------ devkit accumulate
     def accumulate(self, cls: int, dist_th: float) -> Optional[_MetricData]:
         """devkit algo.accumulate for one (class, dist threshold)."""

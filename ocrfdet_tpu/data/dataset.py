@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional
 
 import numpy as np
@@ -47,47 +48,78 @@ class Loader:
 
     def __init__(self, dataset: NuScenesDataset, batch_size: int,
                  shuffle: bool = True, num_workers: int = 8,
-                 drop_last: bool = True, prefetch: int = 4):
+                 drop_last: bool = True, prefetch: int = 4,
+                 process_index: int = 0, process_count: int = 1):
+        """`batch_size` is the GLOBAL batch; in a multi-process run
+        each process loads only its batch_size // process_count slice
+        of every batch (the DistributedSampler analog,
+        apis/train.py:208-220), and all processes draw the identical
+        shuffled order from the shared seed."""
+        if batch_size % max(process_count, 1):
+            raise ValueError(
+                f"global batch {batch_size} not divisible by "
+                f"process_count {process_count}")
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = num_workers
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = max(process_count, 1)
+        self.local_batch_size = batch_size // self.process_count
 
     def __len__(self):
         n = len(self.ds)
-        return n // self.batch_size if self.drop_last else \
-            (n + self.batch_size - 1) // self.batch_size
+        # a ragged final batch cannot be evenly split across processes
+        # (make_array_from_process_local_data needs equal shards), so
+        # multi-process runs always drop it
+        if self.drop_last or self.process_count > 1:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
 
     def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(self.ds))
         if self.shuffle:
             np.random.default_rng(self.ds.cfg.seed + epoch).shuffle(order)
         n_batches = len(self)
+        lo = self.process_index * self.local_batch_size
+        hi = lo + self.local_batch_size
         batches = [order[i * self.batch_size:(i + 1) * self.batch_size]
-                   for i in range(n_batches)]
+                   [lo:hi] for i in range(n_batches)]
 
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        # Per-SAMPLE fan-out over a real thread pool (PIL decode +
+        # numpy aug release the GIL), with `prefetch` whole batches in
+        # flight ahead of the consumer — the analog of the reference's
+        # workers_per_gpu=8 loader (apis/train.py:208-220). A dedicated
+        # scheduler thread keeps submitting while the consumer is
+        # inside the train step.
+        q: "queue.Queue" = queue.Queue(maxsize=max(1, self.prefetch))
         stop = threading.Event()
+        pool = ThreadPoolExecutor(max_workers=max(1, self.num_workers))
 
-        def worker():
+        def scheduler():
             try:
                 for idxs in batches:
                     if stop.is_set():
                         return
-                    samples = [self.ds.sample(i, epoch) for i in idxs]
-                    q.put(collate(samples))
+                    futs = [pool.submit(self.ds.sample, int(i), epoch)
+                            for i in idxs]
+                    # q.put blocks once `prefetch` batches are pending,
+                    # bounding the futures in flight to
+                    # prefetch * batch_size samples.
+                    q.put(futs)
             finally:
                 q.put(None)
 
-        t = threading.Thread(target=worker, daemon=True)
+        t = threading.Thread(target=scheduler, daemon=True)
         t.start()
         try:
             while True:
-                b = q.get()
-                if b is None:
+                futs = q.get()
+                if futs is None:
                     break
-                yield b
+                yield collate([f.result() for f in futs])
         finally:
             stop.set()
+            pool.shutdown(wait=False, cancel_futures=True)

@@ -302,6 +302,32 @@ def prepare_sample(cfg: OcRFDetConfig, all_infos: List[dict], index: int,
     batch["render_box_mask"] = project_boxes_to_image(
         boxes_g, s2ke4, K_aug, cfg.data.input_size)
     batch["sample_token"] = info["token"]
+
+    # GeoEnhDet distillation inputs (reference ocrfdet_vggt.py):
+    #   imgs_wo_aug — key-frame images through the DETERMINISTIC
+    #     (test-mode) resize only, no jitter/flip/rot, normalized
+    #     (loading.py builds them alongside the augmented tensor; the
+    #     frozen VGGT teacher must not see geometric augmentation);
+    #   kd_pair — random adjacent camera pair, rig neighbour with the
+    #     back-camera swap (get_pair_indices, ocrfdet_vggt.py:166-173).
+    if cfg.vggt_teacher is not None:
+        H, W = cfg.data.input_size
+        imgs_wo_aug = np.zeros((N, H, W, 3), dtype=np.float32)
+        for n, cam in enumerate(cams):
+            cd = info["cams"][cam]
+            with Image.open(cd["data_path"]) as im:
+                im = im.convert("RGB")
+                det_aug = sample_aug(cfg, rng, False, im.height,
+                                     im.width)
+                arr = np.asarray(transform_image(im, det_aug),
+                                 dtype=np.float32)
+            imgs_wo_aug[n] = (arr - IMG_MEAN) / IMG_STD
+        batch["imgs_wo_aug"] = imgs_wo_aug
+        i1 = int(rng.integers(0, N)) if is_train else 0
+        i2 = (i1 + 1) % N
+        if N == 6 and i2 in (3, 5):
+            i2 = 8 - i2
+        batch["kd_pair"] = np.asarray([i1, i2], dtype=np.int32)
     return batch
 
 

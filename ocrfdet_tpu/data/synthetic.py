@@ -131,6 +131,7 @@ def make_batch(cfg: OcRFDetConfig, batch_size: int | None = None,
     i1 = rng.integers(0, N, size=(B,))
     i2 = (i1 + 1) % N
     if N == 6:
-        i2 = np.where(i1 == 5, 3, np.where(i1 == 3, 5, i2))
+        # swap when the NEIGHBOUR lands on 3/5 (ocrfdet_vggt.py:166-173)
+        i2 = np.where(i2 == 3, 5, np.where(i2 == 5, 3, i2))
     batch["kd_pair"] = np.stack([i1, i2], -1).astype(np.int32)
     return batch

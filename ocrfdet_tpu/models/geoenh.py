@@ -105,7 +105,12 @@ class GeoEnhDet(OcRFDet):
             return jnp.take_along_axis(
                 arr, pair.reshape(B, 2, *([1] * (arr.ndim - 2))), axis=1)
 
-        imgs = take_pair(batch["imgs"][:, 0])         # [B,2,H,W,3]
+        # the frozen teacher sees UN-augmented images when the pipeline
+        # provides them (reference ocrfdet_vggt.py:25 imgs_wo_aug);
+        # fall back to the key-frame augmented tensor otherwise
+        src = (batch["imgs_wo_aug"] if "imgs_wo_aug" in batch
+               else batch["imgs"][:, 0])
+        imgs = take_pair(src)                         # [B,2,H,W,3]
         th = tcfg.image_size[0]
         tw = tcfg.image_size[1]
         imgs_t = resize_bilinear(

@@ -46,17 +46,40 @@ def build_eval_forward(cfg: OcRFDetConfig, model):
 def run_eval(cfg: OcRFDetConfig, model, params, batch_stats, loader,
              out_json: Optional[str] = None,
              max_batches: Optional[int] = None,
-             token_to_pose: Optional[dict] = None) -> Dict[str, float]:
+             token_to_pose: Optional[dict] = None,
+             mesh=None) -> Dict[str, float]:
     """token_to_pose maps sample_token -> the key CAM_FRONT info dict
     (ego2global_* fields) for global-frame JSON output; identity pose
-    is used when absent (native metrics are pose-independent)."""
-    fwd = build_eval_forward(cfg, model)
+    is used when absent (native metrics are pose-independent).
+
+    With `mesh`, the forward+decode runs sharded over the mesh's
+    `data` axis (parallel/step.py:build_eval_step) and, in a
+    multi-process run, per-process evaluator shards are gathered and
+    merged (tools/test.py multi_gpu_test analog)."""
+    if mesh is not None:
+        from ..parallel.step import build_eval_step
+        from ..utils.runtime import shard_batch
+        sharded = build_eval_step(cfg, model, mesh)
+        fwd = lambda p, bs, b: sharded(p, bs, shard_batch(mesh, b))
+    else:
+        fwd = build_eval_forward(cfg, model)
     evaluator = DetectionEvaluator(cfg.class_names)
     results_json = {}
     for bi, batch in enumerate(loader.epoch(0)):
         if max_batches is not None and bi >= max_batches:
             break
-        decoded = fwd(params, batch_stats, _device_batch(batch))
+        dev = _device_batch(batch) if mesh is None else {
+            k: v for k, v in batch.items()
+            if k not in ("gt_boxes", "gt_labels", "sample_token")}
+        if mesh is not None:
+            dev["with_prev"] = np.asarray(1.0, dtype=np.float32)
+            dev["use_box_mask"] = np.asarray(0.0, dtype=np.float32)
+        decoded = fwd(params, batch_stats, dev)
+        # local shard of the global decode (process-addressable rows)
+        if mesh is not None and jax.process_count() > 1:
+            decoded = jax.tree.map(
+                lambda x: np.concatenate(
+                    [s.data for s in x.addressable_shards]), decoded)
         decoded = jax.tree.map(np.asarray, decoded)
         B = batch["imgs"].shape[0]
         for b in range(B):
@@ -82,7 +105,11 @@ def run_eval(cfg: OcRFDetConfig, model, params, batch_stats, loader,
                     boxes_to_nusc_sample(
                         det["boxes"], det["scores"], det["labels"],
                         cfg.class_names, pose)]
+    if jax.process_count() > 1:
+        from ..parallel.multihost import merge_eval_results
+        evaluator, results_json = merge_eval_results(
+            evaluator, results_json)
     metrics = evaluator.evaluate()
-    if out_json is not None:
+    if out_json is not None and jax.process_index() == 0:
         write_results_json(results_json, out_json)
     return metrics

@@ -48,7 +48,11 @@ class Trainer:
         self.work_dir = work_dir
         os.makedirs(work_dir, exist_ok=True)
         enable_compilation_cache()
-        self.model = OcRFDet(cfg)
+        self.model_cls = OcRFDet
+        if cfg.vggt_teacher is not None:
+            from ..models.geoenh import GeoEnhDet
+            self.model_cls = GeoEnhDet
+        self.model = self.model_cls(cfg)
         space = cfg.parallel.space_axis
         data = min(jax.device_count() // space, cfg.batch_size)
         n_dev = data * space
@@ -63,7 +67,18 @@ class Trainer:
                    = None):
         from ..utils.fast_init import fast_init
         variables, self.model = fast_init(
-            self.cfg, OcRFDet, rng_seed=self.cfg.seed, train=True)
+            self.cfg, self.model_cls, rng_seed=self.cfg.seed, train=True)
+        tcfg = self.cfg.vggt_teacher
+        if tcfg is not None and tcfg.ckpt_path:
+            # graft the released VGGT-1B weights onto the frozen
+            # teacher (reference loads a combined r50+vggt checkpoint,
+            # tools/combine_res50_vggt.py + bevdet_vggt.py:81-98)
+            from ..models.vggt import load_torch_weights
+            params = dict(variables["params"])
+            params["aggregator"] = load_torch_weights(
+                params["aggregator"], tcfg.ckpt_path)
+            variables = dict(variables, params=params)
+            print(f"loaded VGGT teacher weights from {tcfg.ckpt_path}")
         self.tx = make_optimizer(self.cfg.optim, variables["params"],
                                  self.steps_per_epoch)
         # commit to the mesh up front: a donated step returns state with

@@ -17,3 +17,11 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
 assert jax.default_backend() == "cpu", jax.default_backend()
+
+
+def pytest_configure(config):
+    # Test tiering: the sub-minute kernel/geometry/pipeline gate runs
+    # with `-m "not slow"`; full-graph compiles (minutes each on CPU)
+    # are opt-in via `-m slow` or a plain unfiltered run.
+    config.addinivalue_line(
+        "markers", "slow: multi-minute full-graph compile tests")

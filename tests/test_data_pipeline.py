@@ -118,3 +118,44 @@ def test_pipeline_feeds_model(fake_root):
                                   mutable=["batch_stats"])
     assert np.isfinite(float(jnp.sum(preds[0]["heatmap"])))
     assert "render_img" in aux
+
+
+def test_geoenh_pipeline_keys(fake_root):
+    """vggt_teacher config makes the REAL pipeline emit the teacher's
+    un-augmented images + the rig-neighbour kd_pair
+    (reference ocrfdet_vggt.py:25,166-173)."""
+    import dataclasses
+    from ocrfdet_tpu.config import VGGTTeacherConfig
+    cfg, pkl = fake_root
+    gcfg = dataclasses.replace(cfg, vggt_teacher=VGGTTeacherConfig(
+        image_size=(28, 56), patch_size=14, embed_dim=8, depth=1,
+        num_heads=2))
+    ds = NuScenesDataset(gcfg, pkl, is_train=True, cbgs=False)
+    s = ds.sample(0)
+    H, W = gcfg.data.input_size
+    N = gcfg.data.num_cams
+    assert s["imgs_wo_aug"].shape == (N, H, W, 3)
+    i1, i2 = (int(x) for x in s["kd_pair"])
+    assert 0 <= i1 < N and 0 <= i2 < N and i1 != i2
+    # deterministic resize: two draws of the same sample give the same
+    # teacher images even though the student aug jitters
+    s2 = ds.sample(0)
+    np.testing.assert_allclose(s["imgs_wo_aug"], s2["imgs_wo_aug"])
+
+
+def test_loader_process_sharding(fake_root):
+    """Two single-process loaders with ranks 0/1 partition every global
+    batch without overlap (DistributedSampler analog)."""
+    cfg, pkl = fake_root
+    ds = NuScenesDataset(cfg, pkl, is_train=True, cbgs=False)
+    full = Loader(ds, batch_size=4, shuffle=True, num_workers=2)
+    l0 = Loader(ds, batch_size=4, shuffle=True, num_workers=2,
+                process_index=0, process_count=2)
+    l1 = Loader(ds, batch_size=4, shuffle=True, num_workers=2,
+                process_index=1, process_count=2)
+    bf = next(full.epoch(3))
+    b0 = next(l0.epoch(3))
+    b1 = next(l1.epoch(3))
+    assert b0["imgs"].shape[0] == 2 and b1["imgs"].shape[0] == 2
+    glob = np.concatenate([b0["imgs"], b1["imgs"]])
+    np.testing.assert_allclose(glob, bf["imgs"])

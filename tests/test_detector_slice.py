@@ -14,6 +14,9 @@ from ocrfdet_tpu.losses.center import center_head_loss
 from ocrfdet_tpu.losses.depth import (build_depth_semantic_labels,
                                       depth_semantic_loss)
 from ocrfdet_tpu.models.detector import OcRFDet
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _to_jnp(batch):

@@ -5,6 +5,9 @@ from ocrfdet_tpu.config import tiny_config
 from ocrfdet_tpu.data.synthetic import make_batch
 from ocrfdet_tpu.models.detector import OcRFDet
 from ocrfdet_tpu.utils.fast_init import fast_init
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_fast_init_tree_matches_full():

@@ -10,6 +10,9 @@ from ocrfdet_tpu.data.synthetic import make_batch
 from ocrfdet_tpu.models.geoenh import (GeoEnhDet, group_corr_cost_volume,
                                        smooth_l1)
 from ocrfdet_tpu.models.vggt import Aggregator
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _mini_teacher():

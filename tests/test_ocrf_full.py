@@ -8,6 +8,9 @@ from ocrfdet_tpu.config import tiny_config
 from ocrfdet_tpu.data.synthetic import make_batch
 from ocrfdet_tpu.models.detector import OcRFDet
 from ocrfdet_tpu.train.trainstep import compute_losses, total_loss
+import pytest
+
+pytestmark = pytest.mark.slow
 
 EXPECTED_LOSS_KEYS = {
     "loss_depth", "loss_ce_semantic", "loss_gs_color", "loss_gs_ssim",

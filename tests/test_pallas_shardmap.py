@@ -12,6 +12,9 @@ from jax.sharding import PartitionSpec as P
 
 from ocrfdet_tpu.ops.bev_pool_pallas import bev_pool_points
 from ocrfdet_tpu.ops.splat.render_pallas import composite_tiles
+import pytest
+
+pytestmark = pytest.mark.slow
 
 STREAMS = ("mx", "my", "ca", "cb", "cc", "rad", "dep", "op",
            "cr", "cg", "cb_col")

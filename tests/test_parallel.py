@@ -11,6 +11,9 @@ from ocrfdet_tpu.parallel.step import build_train_step
 from ocrfdet_tpu.train.optim import (TrainState, create_train_state,
                                      make_optimizer, is_render_param,
                                      ema_decay)
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _to_jnp(batch):

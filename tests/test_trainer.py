@@ -5,6 +5,9 @@ from ocrfdet_tpu.config import tiny_config
 from ocrfdet_tpu.data.dataset import Loader, NuScenesDataset
 from ocrfdet_tpu.data.fake_nuscenes import build_fake_nuscenes
 from ocrfdet_tpu.train.trainer import Trainer
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_trainer_step_and_resume(tmp_path):

@@ -35,7 +35,9 @@ def main():
     model = OcRFDet(cfg)
     dataset = NuScenesDataset(cfg, args.infos, is_train=False, cbgs=False)
     loader = Loader(dataset, args.batch_size, shuffle=False,
-                    drop_last=False)
+                    drop_last=False,
+                    process_index=jax.process_index(),
+                    process_count=jax.process_count())
 
     ckptr = ocp.StandardCheckpointer()
     state = ckptr.restore(os.path.abspath(args.ckpt))
@@ -50,10 +52,17 @@ def main():
             ["ego2global_translation"])
         for info in dataset.infos}
 
+    # shard eval over the full device mesh (data axis); single-device
+    # runs degrade to a 1-way mesh
+    import jax
+    from ocrfdet_tpu.parallel.mesh import make_mesh
+    n_eval = min(jax.device_count(), loader.local_batch_size)
+    mesh = make_mesh(data=n_eval, space=1,
+                     devices=jax.devices()[:n_eval])
     metrics = run_eval(cfg, model, params, batch_stats, loader,
                        out_json=args.out,
                        max_batches=args.max_batches or None,
-                       token_to_pose=token_to_pose)
+                       token_to_pose=token_to_pose, mesh=mesh)
     print(json.dumps(metrics, indent=2, default=float))
 
 
