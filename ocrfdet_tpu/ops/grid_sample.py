@@ -62,11 +62,27 @@ def bilinear_sample_block(img, x, y):
     """
     H, W = img.shape[:2]
     C = img.shape[2]
+    flat = pack_neighborhood(img)
+    return bilinear_sample_packed(flat, H, W, x, y)
+
+
+def pack_neighborhood(img):
+    """[H, W, C] -> [H*W, 4C]: each row holds the edge-clamped 2x2
+    neighborhood (self, right, down, downright) of one pixel. Hoist
+    this OUT of scan loops so the pack runs once per image."""
+    H, W, C = img.shape
     right = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
     down = jnp.concatenate([img[1:], img[-1:]], axis=0)
     downright = jnp.concatenate([right[1:], right[-1:]], axis=0)
     nb = jnp.concatenate([img, right, down, downright], axis=-1)
-    flat = nb.reshape(H * W, 4 * C)
+    return nb.reshape(H * W, 4 * C)
+
+
+def bilinear_sample_packed(flat, H, W, x, y):
+    """bilinear_sample (padding_zero) from a pack_neighborhood buffer:
+    one [4C]-row gather per point."""
+    C = flat.shape[1] // 4
+    img_dtype = flat.dtype
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
@@ -76,24 +92,30 @@ def bilinear_sample_block(img, x, y):
     y0i = y0.astype(jnp.int32)
     bx = jnp.clip(x0i, 0, W - 1)
     by = jnp.clip(y0i, 0, H - 1)
-    v = flat[by * W + bx].reshape(x.shape + (4, C))
+    v = flat[by * W + bx]                      # [..., 4C]
 
     def slot_w(t0i, tt, base, n):
         w0 = (1.0 - tt)
         w1 = tt
-        in0 = ((t0i >= 0) & (t0i <= n - 1)).astype(img.dtype)
-        in1 = ((t0i + 1 >= 0) & (t0i + 1 <= n - 1)).astype(img.dtype)
+        in0 = ((t0i >= 0) & (t0i <= n - 1)).astype(img_dtype)
+        in1 = ((t0i + 1 >= 0) & (t0i + 1 <= n - 1)).astype(img_dtype)
         sh = t0i - base           # 0 in-range, -1 at the left/top edge
-        s0 = jnp.where(sh == 0, w0.astype(img.dtype) * in0,
-                       jnp.where(sh == -1, w1.astype(img.dtype) * in1,
+        s0 = jnp.where(sh == 0, w0.astype(img_dtype) * in0,
+                       jnp.where(sh == -1, w1.astype(img_dtype) * in1,
                                  0.0))
-        s1 = jnp.where(sh == 0, w1.astype(img.dtype) * in1, 0.0)
+        s1 = jnp.where(sh == 0, w1.astype(img_dtype) * in1, 0.0)
         return s0, s1
 
     sx0, sx1 = slot_w(x0i, tx, bx, W)
     sy0, sy1 = slot_w(y0i, ty, by, H)
-    w = jnp.stack([sy0 * sx0, sy0 * sx1, sy1 * sx0, sy1 * sx1], axis=-1)
-    return jnp.sum(v * w[..., None], axis=-2)
+    # weight each slot via contiguous lane slices of the packed row —
+    # a [..., 4, C] reshape here forces an expensive T(8,128) ->
+    # T(4,128) relayout copy of the whole gathered tensor on TPU
+    ws = (sy0 * sx0, sy0 * sx1, sy1 * sx0, sy1 * sx1)
+    out = ws[0][..., None] * v[..., 0:C]
+    for s in range(1, 4):
+        out = out + ws[s][..., None] * v[..., s * C:(s + 1) * C]
+    return out
 
 
 def grid_sample_2d(img, grid, align_corners=True, padding_zero=True):

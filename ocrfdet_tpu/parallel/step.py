@@ -35,21 +35,47 @@ def _pmean_both(tree):
     return jax.tree.map(one, tree)
 
 
+def zero_sharding(mesh: Mesh, tree):
+    """ZeRO-style NamedShardings for optimizer/EMA trees: each leaf is
+    split over `data` along its first axis divisible by the axis size,
+    replicated otherwise (SURVEY §2.7: optimizer state sharded via
+    NamedSharding — the reference keeps full per-rank copies under
+    DDP; sharding the 3x-params update state is pure HBM savings)."""
+    n = mesh.shape["data"] * mesh.shape["space"]
+
+    def spec(x):
+        shape = getattr(x, "shape", ())
+        for i, d in enumerate(shape):
+            if d >= n and d % n == 0:
+                return NamedSharding(
+                    mesh, P(*([None] * i + [("data", "space")])))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec, tree)
+
+
 def build_train_step(cfg: OcRFDetConfig, model, tx,
                      mesh: Mesh) -> Callable:
     """Returns train_step(state, batch) -> (state, metrics); batch
-    arrays are sharded on their leading axis over `data`."""
+    arrays are sharded on their leading axis over `data`.
 
-    def local_step(state: TrainState, batch):
+    Layout: forward/backward run under shard_map (explicit psum/pmean
+    exactly at the reference's DDP/reduce_mean points); the optimizer +
+    EMA update runs OUTSIDE shard_map under plain GSPMD, so opt_state
+    and both EMA trees can live ZeRO-sharded over the mesh
+    (`zero_sharding`) — each device updates only its slice of the
+    m/v/EMA tensors and the fresh params are re-gathered once."""
+
+    def local_grads(params, batch_stats, step, batch):
         # per-step, per-shard dropout key (reference ASPP Dropout(0.5))
         drop_key = jax.random.fold_in(
-            jax.random.fold_in(jax.random.PRNGKey(17), state.step),
+            jax.random.fold_in(jax.random.PRNGKey(17), step),
             jax.lax.axis_index("data") * 1024
             + jax.lax.axis_index("space"))
 
         def loss_fn(params):
             (preds, aux), mut = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": params, "batch_stats": batch_stats},
                 batch, train=True, mutable=["batch_stats"],
                 rngs={"dropout": drop_key})
             mean_fn = lambda x: jax.lax.pmean(x, "data")
@@ -58,7 +84,7 @@ def build_train_step(cfg: OcRFDetConfig, model, tx,
             return total_loss(losses), (losses, mut["batch_stats"])
 
         (loss, (losses, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+            loss_fn, has_aux=True)(params)
         # pmean over BOTH axes: with cameras sharded over `space`, the
         # all_gather transpose (psum_scatter) leaves each space shard
         # holding S x (its cameras' grad); the space-mean restores the
@@ -71,20 +97,7 @@ def build_train_step(cfg: OcRFDetConfig, model, tx,
         new_stats = _pmean_both(new_stats)
         loss = _pmean_both(loss)
         losses = _pmean_both(losses)
-
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = jax.tree.map(
-            lambda p, u: p + u.astype(p.dtype), state.params, updates)
-        new_ema_p = ema_update(cfg.optim, state.ema_params, new_params,
-                               state.step)
-        new_ema_s = ema_update(cfg.optim, state.ema_batch_stats, new_stats,
-                               state.step)
-        new_state = TrainState(
-            step=state.step + 1, params=new_params,
-            batch_stats=new_stats, opt_state=new_opt,
-            ema_params=new_ema_p, ema_batch_stats=new_ema_s)
-        metrics = dict(losses, loss_total=loss)
-        return new_state, metrics
+        return grads, new_stats, loss, losses
 
     rep = P()
     dp = P("data")
@@ -93,12 +106,32 @@ def build_train_step(cfg: OcRFDetConfig, model, tx,
         return jax.tree.map(
             lambda v: rep if getattr(v, "ndim", 0) == 0 else dp, batch)
 
-    def train_step(state, batch):
-        sharded = shard_map(
-            local_step, mesh=mesh,
-            in_specs=(rep, batch_specs(batch)),
-            out_specs=(rep, rep))
-        return sharded(state, batch)
+    def train_step(state: TrainState, batch):
+        grads, new_stats, loss, losses = shard_map(
+            local_grads, mesh=mesh,
+            in_specs=(rep, rep, rep, batch_specs(batch)),
+            out_specs=(rep, rep, rep, rep))(
+                state.params, state.batch_stats, state.step, batch)
+        # ZeRO region: inputs state.opt_state / ema trees carry their
+        # sharded layout; GSPMD partitions the elementwise update ops
+        # to match, and the `updates` added to the replicated params
+        # are all-gathered once.
+        constrain = lambda t: jax.lax.with_sharding_constraint(
+            t, zero_sharding(mesh, t))
+        updates, new_opt = tx.update(grads, state.opt_state,
+                                     state.params)
+        new_opt = constrain(new_opt)
+        new_params = jax.tree.map(
+            lambda p, u: p + u.astype(p.dtype), state.params, updates)
+        new_ema_p = constrain(ema_update(
+            cfg.optim, state.ema_params, new_params, state.step))
+        new_ema_s = constrain(ema_update(
+            cfg.optim, state.ema_batch_stats, new_stats, state.step))
+        new_state = TrainState(
+            step=state.step + 1, params=new_params,
+            batch_stats=new_stats, opt_state=new_opt,
+            ema_params=new_ema_p, ema_batch_stats=new_ema_s)
+        return new_state, dict(losses, loss_total=loss)
 
     # donate the (large) state so the update happens in place instead
     # of copying ~GBs of params/opt/EMA every step
@@ -106,7 +139,10 @@ def build_train_step(cfg: OcRFDetConfig, model, tx,
 
 
 def build_eval_step(cfg: OcRFDetConfig, model, mesh: Mesh) -> Callable:
-    """Eval forward (EMA weights) + in-jit decode, sharded over data."""
+    """Eval forward + in-jit decode, sharded over `data`: the
+    multi-GPU-test analog (tools/test.py). Returned fn takes
+    (params, batch_stats, batch); pass EMA trees to match the
+    reference's epoch_N_ema.pth evaluation."""
     from ..core.coder import decode_all_tasks
 
     def local_eval(params, batch_stats, batch):
@@ -119,13 +155,20 @@ def build_eval_step(cfg: OcRFDetConfig, model, mesh: Mesh) -> Callable:
     rep = P()
     dp = P("data")
 
-    def eval_step(state: TrainState, batch):
+    def eval_step(params, batch_stats, batch):
         specs = jax.tree.map(
             lambda v: rep if getattr(v, "ndim", 0) == 0 else dp, batch)
         fn = shard_map(
             local_eval, mesh=mesh,
             in_specs=(rep, rep, specs),
             out_specs=dp)
-        return fn(state.ema_params, state.ema_batch_stats, batch)
+        return fn(params, batch_stats, batch)
 
     return jax.jit(eval_step)
+
+
+def eval_step_from_state(cfg: OcRFDetConfig, model, mesh: Mesh,
+                         state: TrainState) -> Callable:
+    fn = build_eval_step(cfg, model, mesh)
+    return lambda batch: fn(state.ema_params, state.ema_batch_stats,
+                            batch)
