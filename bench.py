@@ -117,6 +117,13 @@ def main():
             if mfu is not None and np.isfinite(mfu):
                 rec["mfu"] = round(mfu, 4)
                 rec["step_tflops"] = round(step_flops / 1e12, 3)
+            # the r01 baseline (2.1367 f/s) was measured with the
+            # non-parity /16 stereo cost volume; the default has since
+            # been restored to the reference-exact /4 (VERDICT #8),
+            # which is ~3x more cost-volume work per step
+            from ocrfdet_tpu.config import ocrfdet_config
+            rec["cv_downsample"] = \
+                ocrfdet_config().vt.depthnet.cv_downsample
             print(json.dumps(rec))
             return
         except Exception as e:  # noqa: BLE001 - fall back to smaller batch

@@ -61,6 +61,10 @@ def main():
     ap.add_argument("--flagship", action="store_true",
                     help="use the flagship config (slow) instead of tiny")
     ap.add_argument("--min-map", type=float, default=0.8)
+    ap.add_argument("--bev", type=int, default=0,
+                    help="override BEV grid size (e.g. 32 -> 32x32 at "
+                         "3.2 m cells; tiny default is 16x16, whose "
+                         "coarse cells cap localisation AP)")
     args = ap.parse_args()
 
     from ocrfdet_tpu.config import ocrfdet_config, tiny_config
@@ -70,6 +74,19 @@ def main():
     from ocrfdet_tpu.train.trainer import Trainer
 
     base = ocrfdet_config() if args.flagship else tiny_config()
+    if args.bev:
+        from ocrfdet_tpu.config import GridConfig
+        n = args.bev
+        cell = 102.4 / n
+        base = dataclasses.replace(
+            base,
+            grid=dataclasses.replace(base.grid, x=(-51.2, 51.2, cell),
+                                     y=(-51.2, 51.2, cell)),
+            vt=dataclasses.replace(base.vt, bev_h=n, bev_w=n),
+            # keep out_size_factor: voxel * 8 == BEV cell
+            head=dataclasses.replace(base.head,
+                                     voxel_size=(cell / 8, cell / 8)),
+        )
     cfg = dataclasses.replace(
         base,
         batch_size=args.batch_size,
