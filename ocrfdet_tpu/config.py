@@ -103,6 +103,14 @@ class DepthNetConfig:
     # fast opt-in (skips the 4x4 finer plane sweep whose detail the
     # stride-2 cv convs discard).
     cv_downsample: int = 4
+    # warp implementation: 'mm' (Pallas MXU one-hot matmul — the TPU
+    # fast path), 'scan' (depth-chunked gather), 'auto' (mm on TPU,
+    # scan elsewhere). See ops/cost_volume.py.
+    cv_impl: str = "auto"
+    # source-column window width of the mm kernel; >= feature width
+    # disables windowing (exact for any geometry, ~3.7x the matmul
+    # FLOPs at flagship shapes)
+    cv_win: int = 48
 
 
 @dataclass(frozen=True)
@@ -198,6 +206,12 @@ class VGGTTeacherConfig:
     embed_dim: int = 1024
     depth: int = 24
     num_heads: int = 16
+    # patch embedder: 'dinov2' = full DINOv2 ViT-L/14 with register
+    # tokens (the released VGGT-1B layout, aggregator.py:143-182);
+    # 'conv' = single conv (miniature tests only)
+    patch_embed: str = "dinov2"
+    vit_depth: int = 24                        # DINOv2 block count
+    vit_native_grid: int = 37                  # pos-embed grid (518/14)
     ckpt_path: Optional[str] = None            # torch model.pt if present
 
 

@@ -147,6 +147,10 @@ class DetectionEvaluator:
         self.gts: Dict[int, Dict[int, list]] = defaultdict(
             lambda: defaultdict(list))
         self.n_samples = 0
+        # sample tokens already scored (duplicate suppression for the
+        # padded ragged tail batch, data/dataset.py Loader.epoch)
+        self._seen_tokens: set = set()
+        self._token_sids: Dict[str, int] = {}
 
     def _in_range(self, box, name) -> bool:
         if not self.apply_class_range:
@@ -157,7 +161,16 @@ class DetectionEvaluator:
     def add_sample(self, pred_boxes: np.ndarray, scores: np.ndarray,
                    labels: np.ndarray, gt_boxes: np.ndarray,
                    gt_labels: np.ndarray,
-                   gt_attrs: Optional[Sequence[str]] = None):
+                   gt_attrs: Optional[Sequence[str]] = None,
+                   token: Optional[str] = None):
+        """With `token`, a repeated sample token is silently skipped
+        (tail-batch padding duplicates); token-less samples are always
+        scored under a fresh integer id."""
+        if token is not None:
+            if token in self._seen_tokens:
+                return
+            self._seen_tokens.add(token)
+            self._token_sids[token] = self.n_samples
         sid = self.n_samples
         self.n_samples += 1
         for b, s, l in zip(pred_boxes, scores, labels):
@@ -178,14 +191,29 @@ class DetectionEvaluator:
     def merge(self, other: "DetectionEvaluator"):
         """Fold another evaluator's accumulated samples into this one
         (multi-process eval gather; sample ids are re-based so the
-        greedy per-sample matching is unaffected)."""
+        greedy per-sample matching is unaffected). Token-tracked
+        samples present in BOTH shards (a padded tail duplicate that
+        landed on another process) are folded only once — the token
+        set is merged so later merges stay deduplicated too."""
         off = self.n_samples
+        dup = self._seen_tokens & other._seen_tokens
+        # map the other shard's integer sids into fresh ids; which
+        # sids belong to duplicate tokens is tracked by the other
+        # evaluator at add time
+        skip = {sid for tok, sid in other._token_sids.items()
+                if tok in dup} if dup else set()
         for cls, lst in other.preds.items():
             self.preds[cls].extend(
-                (s, sid + off, b, a) for (s, sid, b, a) in lst)
+                (s, sid + off, b, a) for (s, sid, b, a) in lst
+                if sid not in skip)
         for cls, per_sample in other.gts.items():
             for sid, lst in per_sample.items():
-                self.gts[cls][sid + off].extend(lst)
+                if sid not in skip:
+                    self.gts[cls][sid + off].extend(lst)
+        self._seen_tokens |= other._seen_tokens
+        for tok, sid in other._token_sids.items():
+            if tok not in self._token_sids:
+                self._token_sids[tok] = sid + off
         self.n_samples += other.n_samples
 
     # ------------------------------------------------ devkit accumulate

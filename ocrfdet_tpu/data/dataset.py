@@ -71,10 +71,7 @@ class Loader:
 
     def __len__(self):
         n = len(self.ds)
-        # a ragged final batch cannot be evenly split across processes
-        # (make_array_from_process_local_data needs equal shards), so
-        # multi-process runs always drop it
-        if self.drop_last or self.process_count > 1:
+        if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
@@ -85,8 +82,17 @@ class Loader:
         n_batches = len(self)
         lo = self.process_index * self.local_batch_size
         hi = lo + self.local_batch_size
-        batches = [order[i * self.batch_size:(i + 1) * self.batch_size]
-                   [lo:hi] for i in range(n_batches)]
+        full = [order[i * self.batch_size:(i + 1) * self.batch_size]
+                for i in range(n_batches)]
+        if full and len(full[-1]) < self.batch_size:
+            # drop_last=False: pad the ragged tail batch by cycling its
+            # own samples so every process still receives an equal
+            # slice (make_array_from_process_local_data needs equal
+            # shards). The duplicates carry repeated sample_tokens and
+            # are deduplicated by the evaluator — the reference's
+            # multi_gpu_test evaluates every val sample exactly once.
+            full[-1] = np.resize(full[-1], self.batch_size)
+        batches = [b[lo:hi] for b in full]
 
         # Per-SAMPLE fan-out over a real thread pool (PIL decode +
         # numpy aug release the GIL), with `prefetch` whole batches in

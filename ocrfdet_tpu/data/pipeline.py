@@ -196,6 +196,8 @@ def prepare_sample(cfg: OcRFDetConfig, all_infos: List[dict], index: int,
     gt_semantic = np.zeros((N, H, W), np.float32)
 
     key_front = info["cams"]["CAM_FRONT"]
+    imgs_wo_aug = (np.zeros((N, H, W, 3), np.float32)
+                   if cfg.vggt_teacher is not None else None)
     augs = []
     for n, cam in enumerate(cams):
         cd = info["cams"][cam]
@@ -204,6 +206,15 @@ def prepare_sample(cfg: OcRFDetConfig, all_infos: List[dict], index: int,
             aug = sample_aug(cfg, rng, is_train, im.height, im.width)
             augs.append(aug)
             img_aug = transform_image(im, aug)
+            if imgs_wo_aug is not None:
+                # the frozen VGGT teacher sees the SAME sampled resize
+                # + crop but neither flip nor rotation
+                # (loading.py:1071-1101 builds imgs_wo_aug from the
+                # train-time img_augs before the flip branch)
+                arr_wo = np.asarray(
+                    im.resize(aug.resize_dims).crop(aug.crop),
+                    dtype=np.float32)
+                imgs_wo_aug[n] = (arr_wo - IMG_MEAN) / IMG_STD
         arr = np.asarray(img_aug, dtype=np.float32)
         imgs_wo_norm[n] = arr
         imgs[0, n] = (arr - IMG_MEAN) / IMG_STD
@@ -304,24 +315,13 @@ def prepare_sample(cfg: OcRFDetConfig, all_infos: List[dict], index: int,
     batch["sample_token"] = info["token"]
 
     # GeoEnhDet distillation inputs (reference ocrfdet_vggt.py):
-    #   imgs_wo_aug — key-frame images through the DETERMINISTIC
-    #     (test-mode) resize only, no jitter/flip/rot, normalized
-    #     (loading.py builds them alongside the augmented tensor; the
-    #     frozen VGGT teacher must not see geometric augmentation);
+    #   imgs_wo_aug — key-frame images through the SAME sampled
+    #     resize + crop as the train tensor but without flip/rotate,
+    #     normalized (loading.py:1071-1101; built in the camera loop
+    #     above so the open image is reused);
     #   kd_pair — random adjacent camera pair, rig neighbour with the
     #     back-camera swap (get_pair_indices, ocrfdet_vggt.py:166-173).
     if cfg.vggt_teacher is not None:
-        H, W = cfg.data.input_size
-        imgs_wo_aug = np.zeros((N, H, W, 3), dtype=np.float32)
-        for n, cam in enumerate(cams):
-            cd = info["cams"][cam]
-            with Image.open(cd["data_path"]) as im:
-                im = im.convert("RGB")
-                det_aug = sample_aug(cfg, rng, False, im.height,
-                                     im.width)
-                arr = np.asarray(transform_image(im, det_aug),
-                                 dtype=np.float32)
-            imgs_wo_aug[n] = (arr - IMG_MEAN) / IMG_STD
         batch["imgs_wo_aug"] = imgs_wo_aug
         i1 = int(rng.integers(0, N)) if is_train else 0
         i2 = (i1 + 1) % N

@@ -23,8 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from .resnet import BasicBlock, ConvBN
-from ..ops.grid_sample import (bilinear_sample_packed, grid_sample_2d,
-                               pack_neighborhood)
+from ..ops.cost_volume import stereo_cost_volume  # noqa: F401 (re-export)
 
 Dtype = Any
 
@@ -89,114 +88,6 @@ class ASPP(nn.Module):
         if self.dropout > 0 and train and self.has_rng("dropout"):
             y = nn.Dropout(self.dropout, deterministic=False)(y)
         return y
-
-
-def stereo_cost_volume(curr_feat, prev_feat, cv_frustum, k2s_sensor, intrins,
-                       post_rots, post_trans, input_size, bias: float):
-    """Plane-sweep cost volume against the previous frame.
-
-    Args:
-      curr_feat / prev_feat: [B, N, Hc, Wc, C] stem features (stride 4).
-      cv_frustum: [D, Hc, Wc, 3] template (pixel x, pixel y, depth).
-      k2s_sensor: [B, N, 4, 4] key-sensor -> sweep-sensor transform.
-      intrins/post_rots: [B, N, 3, 3]; post_trans: [B, N, 3].
-      input_size: (H_in, W_in) raw input size for normalisation.
-      bias: additive penalty for candidates that fall outside the
-            previous view.
-    Returns cost [B, N, D, Hc, Wc] softmaxed over D.
-    """
-    B, N, Hc, Wc, C = curr_feat.shape
-    D = cv_frustum.shape[0]
-    Hi, Wi = input_size
-
-    # The frustum->sweep-pixel homography is LINEAR in the depth d:
-    # post_rot is block-diag(pr2, 1) with post_tran_z == 0 (the image
-    # aug is 2-D, geometry/transforms.py expand_post_3x3), so
-    # unprojecting pixel (u, v) at depth d gives the metric point
-    #   pts = d * q(u, v) + t,   q = R K^-1 [inv_pr2 (uv - pt2); 1]
-    # and the sweep-camera pixel (with the shared aug re-applied) is
-    #   pix = (d * a2(u, v) + b2) / (d * az(u, v) + bz).
-    # Computing the [B,N,H,W] coefficient maps ONCE and broadcasting
-    # over depth inside the scan replaces the reference's dense chain
-    # of [B,N,D,H,W,3] transforms (view_transformer.py gen_grid
-    # :538-566 evaluates every depth plane densely) — exact same math,
-    # ~D x less elementwise traffic.
-    uv = cv_frustum[0, :, :, :2]                         # [Hc,Wc,2]
-    depths = cv_frustum[:, 0, 0, 2]                      # [D]
-    pr2 = post_rots[..., :2, :2]
-    inv_pr2 = jnp.linalg.inv(pr2)
-    uv_c = uv[None, None] - post_trans[:, :, None, None, :2]
-    xy = jnp.einsum('bnij,bnhwj->bnhwi', inv_pr2, uv_c)  # [B,N,H,W,2]
-    q = jnp.concatenate([xy, jnp.ones_like(xy[..., :1])], -1)
-    rots = k2s_sensor[..., :3, :3]
-    trans = k2s_sensor[..., :3, 3]
-    combine = rots @ jnp.linalg.inv(intrins)
-    q = jnp.einsum('bnij,bnhwj->bnhwi', combine, q)      # [B,N,H,W,3]
-    A = jnp.einsum('bnij,bnhwj->bnhwi', intrins, q)      # [B,N,H,W,3]
-    Bv = jnp.einsum('bnij,bnj->bni', intrins, trans)     # [B,N,3]
-    a2 = (jnp.einsum('bnij,bnhwj->bnhwi', pr2, A[..., :2])
-          + post_trans[:, :, None, None, :2] * A[..., 2:3])
-    b2 = (jnp.einsum('bnij,bnj->bni', pr2, Bv[..., :2])
-          + post_trans[..., :2] * Bv[..., 2:3])          # [B,N,2]
-
-    BN = B * N
-    HW = Hc * Wc
-    az = A[..., 2].reshape(BN, 1, HW)
-    bz = Bv[..., 2].reshape(BN, 1, 1)
-    a2f = a2.reshape(BN, 1, HW, 2)
-    b2f = b2.reshape(BN, 1, 1, 2)
-    qz = q[..., 2].reshape(BN, 1, HW)
-    tz = trans[..., 2].reshape(BN, 1, 1)
-
-    # Depth-chunked warps under lax.scan. Design notes from profiling
-    # on v5e: a scan over single depth planes serialises 118 small
-    # gathers (0.57 s/frame); a python-unrolled channel-group loop lets
-    # XLA schedule every group's [points, CG] taps concurrently (35 GB
-    # peak) and narrow channel groups pad the 128-lane dim 4x. The
-    # sweet spot is a scan (forced sequential, one chunk's transients
-    # live at a time) over chunks of DCH depth planes with the full
-    # channel width on the lane dim, gathers in bf16. The sample grid
-    # itself is synthesised per-chunk from the coefficient maps (never
-    # materialised at [B,N,D,H,W]).
-    DCH = 8
-    Dp = ((D + DCH - 1) // DCH) * DCH
-    d_pad = jnp.concatenate(
-        [depths, jnp.full((Dp - D,), -1e9, depths.dtype)]) \
-        if Dp != D else depths
-    d_chunks = d_pad.reshape(Dp // DCH, 1, DCH, 1)       # [nc,1,DCH,1]
-    # pack each sweep image's 2x2 neighborhoods ONCE (outside the
-    # scan): the per-chunk warp is then a single [4C]-row gather per
-    # point instead of four [C]-row gathers — TPU gather throughput is
-    # descriptor-bound, so this quarters the dominant cost
-    prev_packed = jax.vmap(pack_neighborhood)(
-        prev_feat.reshape(BN, Hc, Wc, C).astype(jnp.bfloat16))
-    curr_flat = curr_feat.reshape(BN, 1, HW, C).astype(jnp.float32)
-
-    def one_chunk(_, d_c):
-        den = d_c * az + bz                              # [BN,DCH,HW]
-        num = d_c[..., None] * a2f + b2f                 # [BN,DCH,HW,2]
-        pix = num / den[..., None]
-        behind = (d_c * qz + tz) < 1e-3
-        # full-res pixel -> /cv_downsample feature coords: the
-        # reference normalises by the INPUT size and samples the
-        # stride-4 map, i.e. scales by (Wc-1)/(Wi-1) under
-        # align_corners=True (view_transformer.py:592-596)
-        px = jnp.where(behind, -2.0 * Wi,
-                       pix[..., 0] * ((Wc - 1.0) / (Wi - 1.0)))
-        py = jnp.where(behind, -2.0 * Hi,
-                       pix[..., 1] * ((Hc - 1.0) / (Hi - 1.0)))
-        warped = jax.vmap(
-            lambda fl, xx, yy: bilinear_sample_packed(fl, Hc, Wc, xx, yy)
-        )(prev_packed, px, py)                           # [BN,DCH,HW,C]
-        cost_c = jnp.sum(
-            jnp.abs(curr_flat - warped.astype(jnp.float32)), axis=-1)
-        invalid_c = warped[..., 0] == 0.0
-        cost_c = jnp.where(invalid_c, cost_c + bias, cost_c)
-        return None, cost_c                              # [BN,DCH,HW]
-
-    _, cost = jax.lax.scan(one_chunk, None, d_chunks)
-    cost = jnp.moveaxis(cost, 0, 1).reshape(B, N, Dp, Hc, Wc)[:, :, :D]
-    return jax.nn.softmax(-cost, axis=2)
 
 
 class DepthNet(nn.Module):

@@ -177,7 +177,9 @@ class OcRFDet(nn.Module):
                     self.vt.cv_frustum, batch["k2s_sensor"][:, f],
                     cams.intrins, cams.post_rots, cams.post_trans,
                     cfg.data.input_size,
-                    cfg.vt.depthnet.cost_volume_bias)
+                    cfg.vt.depthnet.cost_volume_bias,
+                    impl=cfg.vt.depthnet.cv_impl,
+                    win_w=cfg.vt.depthnet.cv_win)
                 cv = jax.lax.stop_gradient(cv)
                 B, N = cv.shape[:2]
                 cv = jnp.moveaxis(cv, 2, -1)  # [B,N,Hc,Wc,D]

@@ -91,6 +91,8 @@ class GeoEnhDet(OcRFDet):
         self.aggregator = Aggregator(
             patch_size=tcfg.patch_size, embed_dim=tcfg.embed_dim,
             depth=tcfg.depth, num_heads=tcfg.num_heads,
+            patch_embed=tcfg.patch_embed, vit_depth=tcfg.vit_depth,
+            vit_native_grid=tcfg.vit_native_grid,
             dtype=self.dtype, name="aggregator")
         self.aligner = CrossAttentionAlign(
             vit_dim=2 * tcfg.embed_dim, dtype=self.dtype, name="aligner")
@@ -105,11 +107,12 @@ class GeoEnhDet(OcRFDet):
             return jnp.take_along_axis(
                 arr, pair.reshape(B, 2, *([1] * (arr.ndim - 2))), axis=1)
 
-        # the frozen teacher sees UN-augmented images when the pipeline
-        # provides them (reference ocrfdet_vggt.py:25 imgs_wo_aug);
-        # fall back to the key-frame augmented tensor otherwise
-        src = (batch["imgs_wo_aug"] if "imgs_wo_aug" in batch
-               else batch["imgs"][:, 0])
+        # the reference teacher consumes the AUGMENTED ImageNet-
+        # normalised key tensor resized to 294x518
+        # (resize_img(img.detach()), ocrfdet_vggt.py:244); imgs_wo_aug
+        # is plumbed through its input list but unused in this path,
+        # so the augmented tensor is the faithful choice here
+        src = batch["imgs"][:, 0]
         imgs = take_pair(src)                         # [B,2,H,W,3]
         th = tcfg.image_size[0]
         tw = tcfg.image_size[1]

@@ -61,7 +61,8 @@ class OcRFViewTransformer(nn.Module):
         self.lss = LSSViewTransformer(
             grid=self.grid, cfg=cfg, input_size=self.input_size,
             semantic_channels=2, dtype=self.dtype, name="lss")
-        self.cv_frustum = jnp.asarray(FR.make_frustum(
+        # numpy on purpose — see LSSViewTransformer.setup
+        self.cv_frustum = np.asarray(FR.make_frustum(
             self.grid.depth, self.input_size, cfg.depthnet.cv_downsample))
         c = cfg.out_channels
         # HT reference grid (normalised [0,1]^3), z extent from grid.z
@@ -379,9 +380,14 @@ class OcRFViewTransformer(nn.Module):
         full = self.nerf_full_feat(fpn_c)              # [B,H,W,c]
         alpha_c = take_cam(alphas)[..., None].astype(full.dtype)
         fc_in = jnp.concatenate([full, gt_img.astype(full.dtype)], -1)
-        cw = jax.nn.softmax(self.c_mlp_nerf(fc_in), axis=-1)
+        # terminal activations inside the factor MLPs, applied BEFORE
+        # the external softmax: ColorFactorMLPNerf ends in a sigmoid,
+        # DepthFactorMLPNerf in a relu (view_transformer_ocrf.py:
+        # 321-342, used at :1107-1110)
+        cw = jax.nn.softmax(jax.nn.sigmoid(self.c_mlp_nerf(fc_in)),
+                            axis=-1)
         radiance = nn.relu(self.feat_resize1(fc_in)) * cw
-        dw = jax.nn.softmax(self.d_mlp_nerf(fc_in), axis=-1)
+        dw = jax.nn.softmax(nn.relu(self.d_mlp_nerf(fc_in)), axis=-1)
         radiance_d = nn.relu(self.feat_resize2(fc_in)) * dw
         img_n = (alpha_c * radiance).astype(jnp.float32)
         dep_n = (alpha_c * radiance_d)[..., 0].astype(jnp.float32)

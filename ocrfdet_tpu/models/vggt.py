@@ -86,6 +86,7 @@ class Block(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     init_values: float = 0.01
+    qk_norm: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -95,15 +96,84 @@ class Block(nn.Module):
         ls2 = self.param("ls2", nn.initializers.constant(self.init_values),
                          (self.dim,))
         y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-        y = Attention(self.dim, self.num_heads, dtype=self.dtype,
-                      name="attn")(y, rope=rope)
+        y = Attention(self.dim, self.num_heads, qk_norm=self.qk_norm,
+                      dtype=self.dtype, name="attn")(y, rope=rope)
         x = x + ls1 * y
         y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         h = int(self.dim * self.mlp_ratio)
         y = nn.Dense(h, dtype=self.dtype, name="mlp_fc1")(y)
-        y = nn.gelu(y)
+        # exact erf GELU (torch nn.GELU default)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
         return x + ls2 * y
+
+
+class DinoViT(nn.Module):
+    """DINOv2 vision transformer with register tokens — the VGGT-1B
+    patch embedder (aggregator.py:143-182 builds
+    `vit_large(patch_size=14, num_register_tokens=4, init_values=1.0,
+    block_chunks=0)`; vendored DinoVisionTransformer,
+    vggt/layers/vision_transformer.py:42-270).
+
+    Returns `x_norm_patchtokens` — the final-LayerNorm patch tokens
+    with cls/register tokens stripped. The learned pos-embed is stored
+    at its native grid (37x37 for the released 518px checkpoint) and
+    bicubically resized to the actual patch grid at trace time
+    (interpolate_pos_encoding; jax bicubic uses the Keys a=-0.5 kernel
+    vs torch's a=-0.75 — a documented sub-1e-3 deviation on the smooth
+    pos field, PARITY.md)."""
+    patch_size: int = 14
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    num_register_tokens: int = 4
+    native_grid: int = 37        # pos_embed grid (518 // 14)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images):
+        """images [B, H, W, 3] -> patch tokens [B, ph*pw, dim]."""
+        B, H, W, _ = images.shape
+        p = self.patch_size
+        ph, pw = H // p, W // p
+        D = self.embed_dim
+        ng = self.native_grid
+        x = nn.Conv(D, (p, p), strides=(p, p), dtype=self.dtype,
+                    name="proj")(images)
+        x = x.reshape(B, ph * pw, D)
+
+        cls = self.param("cls_token", nn.initializers.normal(1e-6),
+                         (1, 1, D))
+        reg = self.param("register_tokens", nn.initializers.normal(1e-6),
+                         (1, self.num_register_tokens, D))
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, 1 + ng * ng, D))
+        pos_cls, pos_patch = pos[:, :1], pos[:, 1:]
+        if (ph, pw) != (ng, ng):
+            pp = pos_patch.reshape(1, ng, ng, D).astype(jnp.float32)
+            pp = jax.image.resize(pp, (1, ph, pw, D), method="bicubic",
+                                  antialias=True)
+            pos_patch = pp.reshape(1, ph * pw, D)
+        # cat(cls, patches) + pos, then registers inserted after cls
+        # WITHOUT positional embedding (prepare_tokens_with_masks,
+        # vision_transformer.py:215-226)
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls, (B, 1, D)).astype(x.dtype), x], 1)
+        x = x + jnp.concatenate([pos_cls, pos_patch], 1).astype(x.dtype)
+        x = jnp.concatenate(
+            [x[:, :1],
+             jnp.broadcast_to(reg, (B, self.num_register_tokens, D))
+             .astype(x.dtype), x[:, 1:]], 1)
+        for i in range(self.depth):
+            # DINOv2 blocks: LayerScale init 1.0, no QK-norm, no RoPE
+            x = Block(D, self.num_heads, init_values=1.0, qk_norm=False,
+                      dtype=self.dtype, name=f"block{i}")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        return x[:, 1 + self.num_register_tokens:]
+
+
+_RESNET_MEAN = (0.485, 0.456, 0.406)
+_RESNET_STD = (0.229, 0.224, 0.225)
 
 
 class Aggregator(nn.Module):
@@ -113,22 +183,44 @@ class Aggregator(nn.Module):
     num_heads: int = 16
     num_register_tokens: int = 4
     rope_base: float = 100.0
+    # 'dinov2' = full DINOv2 ViT patch embedder (VGGT-1B layout);
+    # 'conv' = single conv (miniature tests)
+    patch_embed: str = "dinov2"
+    vit_depth: int = 24
+    vit_native_grid: int = 37
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, images) -> Tuple[jnp.ndarray, int]:
-        """images [B, S, H, W, 3] (normalised). Returns
+        """images [B, S, H, W, 3]. Returns
         (tokens [B, S, T, 2*dim] of the final layer, patch_start_idx).
+
+        The reference normalises its input with the resnet mean/std
+        unconditionally (aggregator.py:200-201) — including in the
+        OcRFDet4DVGGT path where the input is ALREADY an ImageNet-
+        normalised tensor resized to 294x518 (ocrfdet_vggt.py:244);
+        that double normalisation is reproduced faithfully here.
         """
         B, S, H, W, _ = images.shape
         ph, pw = H // self.patch_size, W // self.patch_size
         T_p = ph * pw
-        x = nn.Conv(self.embed_dim,
-                    (self.patch_size, self.patch_size),
-                    strides=(self.patch_size, self.patch_size),
-                    dtype=self.dtype, name="patch_embed")(
-            images.reshape(B * S, H, W, 3))
-        x = x.reshape(B * S, T_p, self.embed_dim)
+        images = ((images - jnp.asarray(_RESNET_MEAN, images.dtype))
+                  / jnp.asarray(_RESNET_STD, images.dtype))
+        flat = images.reshape(B * S, H, W, 3)
+        if self.patch_embed == "dinov2":
+            x = DinoViT(patch_size=self.patch_size,
+                        embed_dim=self.embed_dim,
+                        depth=self.vit_depth,
+                        num_heads=self.num_heads,
+                        num_register_tokens=self.num_register_tokens,
+                        native_grid=self.vit_native_grid,
+                        dtype=self.dtype, name="patch_embed")(flat)
+        else:
+            x = nn.Conv(self.embed_dim,
+                        (self.patch_size, self.patch_size),
+                        strides=(self.patch_size, self.patch_size),
+                        dtype=self.dtype, name="patch_embed")(flat)
+            x = x.reshape(B * S, T_p, self.embed_dim)
 
         cam_tok = self.param("camera_token",
                              nn.initializers.normal(1e-6),
@@ -183,56 +275,93 @@ class Aggregator(nn.Module):
 
 
 def load_torch_weights(params: dict, ckpt_path: str) -> dict:
-    """Convert the released VGGT torch checkpoint into this flax tree
-    (only called when a checkpoint file exists; requires torch)."""
+    """Convert a released VGGT torch checkpoint into this flax tree.
+
+    Handles both aggregator layouts: the conv patch embed
+    (`patch_embed.proj.*`, miniature/test models) and the released
+    VGGT-1B layout where `patch_embed.*` is an entire DINOv2 ViT-L/14
+    with register tokens (`patch_embed.patch_embed.proj.*`,
+    `patch_embed.blocks.{i}.*`, `patch_embed.{cls_token,pos_embed,
+    register_tokens,norm.*}`; aggregator.py:143-182). Only called when
+    a checkpoint file exists; requires torch."""
     import torch
 
-    sd = torch.load(ckpt_path, map_location="cpu")
+    sd = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "model" in sd and not any(
+            k.startswith("aggregator.") for k in sd):
+        sd = sd["model"]
     sd = {k.replace("aggregator.", ""): v.numpy()
           for k, v in sd.items() if k.startswith("aggregator.")}
+    return convert_torch_state_dict(params, sd)
+
+
+def convert_torch_state_dict(params: dict, sd: dict) -> dict:
+    """Map a torch aggregator state dict (numpy values) onto `params`."""
     out = jax.tree.map(lambda x: x, params)  # copy
 
     def put(path, value):
         node = out
         for p in path[:-1]:
             node = node[p]
-        if node[path[-1]].shape != value.shape:
+        if tuple(node[path[-1]].shape) != tuple(value.shape):
             raise ValueError(f"{path}: {node[path[-1]].shape} vs "
                              f"{value.shape}")
         node[path[-1]] = jnp.asarray(value)
 
+    def put_block(flax_prefix, p, qk_norm):
+        put(flax_prefix + ("norm1", "scale"), sd[f"{p}.norm1.weight"])
+        put(flax_prefix + ("norm1", "bias"), sd[f"{p}.norm1.bias"])
+        put(flax_prefix + ("norm2", "scale"), sd[f"{p}.norm2.weight"])
+        put(flax_prefix + ("norm2", "bias"), sd[f"{p}.norm2.bias"])
+        put(flax_prefix + ("ls1",), sd[f"{p}.ls1.gamma"])
+        put(flax_prefix + ("ls2",), sd[f"{p}.ls2.gamma"])
+        put(flax_prefix + ("attn", "qkv", "kernel"),
+            sd[f"{p}.attn.qkv.weight"].T)
+        put(flax_prefix + ("attn", "qkv", "bias"),
+            sd[f"{p}.attn.qkv.bias"])
+        put(flax_prefix + ("attn", "proj", "kernel"),
+            sd[f"{p}.attn.proj.weight"].T)
+        put(flax_prefix + ("attn", "proj", "bias"),
+            sd[f"{p}.attn.proj.bias"])
+        if qk_norm:
+            put(flax_prefix + ("attn", "q_norm", "scale"),
+                sd[f"{p}.attn.q_norm.weight"])
+            put(flax_prefix + ("attn", "q_norm", "bias"),
+                sd[f"{p}.attn.q_norm.bias"])
+            put(flax_prefix + ("attn", "k_norm", "scale"),
+                sd[f"{p}.attn.k_norm.weight"])
+            put(flax_prefix + ("attn", "k_norm", "bias"),
+                sd[f"{p}.attn.k_norm.bias"])
+        put(flax_prefix + ("mlp_fc1", "kernel"), sd[f"{p}.mlp.fc1.weight"].T)
+        put(flax_prefix + ("mlp_fc1", "bias"), sd[f"{p}.mlp.fc1.bias"])
+        put(flax_prefix + ("mlp_fc2", "kernel"), sd[f"{p}.mlp.fc2.weight"].T)
+        put(flax_prefix + ("mlp_fc2", "bias"), sd[f"{p}.mlp.fc2.bias"])
+
     put(("camera_token",), sd["camera_token"][0])
     put(("register_token",), sd["register_token"][0])
-    put(("patch_embed", "kernel"),
-        sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0))
-    put(("patch_embed", "bias"), sd["patch_embed.proj.bias"])
+    if "patch_embed.proj.weight" in sd:          # conv variant
+        put(("patch_embed", "kernel"),
+            sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0))
+        put(("patch_embed", "bias"), sd["patch_embed.proj.bias"])
+    else:                                        # DINOv2 ViT variant
+        pe = "patch_embed"
+        put((pe, "cls_token"), sd[f"{pe}.cls_token"])
+        put((pe, "pos_embed"), sd[f"{pe}.pos_embed"])
+        put((pe, "register_tokens"), sd[f"{pe}.register_tokens"])
+        put((pe, "proj", "kernel"),
+            sd[f"{pe}.patch_embed.proj.weight"].transpose(2, 3, 1, 0))
+        put((pe, "proj", "bias"), sd[f"{pe}.patch_embed.proj.bias"])
+        put((pe, "norm", "scale"), sd[f"{pe}.norm.weight"])
+        put((pe, "norm", "bias"), sd[f"{pe}.norm.bias"])
+        i = 0
+        while f"{pe}.blocks.{i}.norm1.weight" in sd:
+            put_block((pe, f"block{i}"), f"{pe}.blocks.{i}",
+                      qk_norm=False)
+            i += 1
     for grp, pref in (("frame_block", "frame_blocks"),
                       ("global_block", "global_blocks")):
         i = 0
         while f"{pref}.{i}.norm1.weight" in sd:
-            b = f"{grp}{i}"
-            p = f"{pref}.{i}"
-            put((b, "norm1", "scale"), sd[f"{p}.norm1.weight"])
-            put((b, "norm1", "bias"), sd[f"{p}.norm1.bias"])
-            put((b, "norm2", "scale"), sd[f"{p}.norm2.weight"])
-            put((b, "norm2", "bias"), sd[f"{p}.norm2.bias"])
-            put((b, "ls1"), sd[f"{p}.ls1.gamma"])
-            put((b, "ls2"), sd[f"{p}.ls2.gamma"])
-            put((b, "attn", "qkv", "kernel"),
-                sd[f"{p}.attn.qkv.weight"].T)
-            put((b, "attn", "qkv", "bias"), sd[f"{p}.attn.qkv.bias"])
-            put((b, "attn", "proj", "kernel"),
-                sd[f"{p}.attn.proj.weight"].T)
-            put((b, "attn", "proj", "bias"), sd[f"{p}.attn.proj.bias"])
-            put((b, "attn", "q_norm", "scale"),
-                sd[f"{p}.attn.q_norm.weight"])
-            put((b, "attn", "q_norm", "bias"), sd[f"{p}.attn.q_norm.bias"])
-            put((b, "attn", "k_norm", "scale"),
-                sd[f"{p}.attn.k_norm.weight"])
-            put((b, "attn", "k_norm", "bias"), sd[f"{p}.attn.k_norm.bias"])
-            put((b, "mlp_fc1", "kernel"), sd[f"{p}.mlp.fc1.weight"].T)
-            put((b, "mlp_fc1", "bias"), sd[f"{p}.mlp.fc1.bias"])
-            put((b, "mlp_fc2", "kernel"), sd[f"{p}.mlp.fc2.weight"].T)
-            put((b, "mlp_fc2", "bias"), sd[f"{p}.mlp.fc2.bias"])
+            put_block((f"{grp}{i}",), f"{pref}.{i}", qk_norm=True)
             i += 1
     return out

@@ -54,7 +54,10 @@ class LSSViewTransformer(nn.Module):
     def setup(self):
         self.frustum = jnp.asarray(FR.make_frustum(
             self.grid.depth, self.input_size, self.cfg.downsample))
-        self.cv_frustum = jnp.asarray(FR.make_frustum(
+        # kept as NUMPY: the cost-volume kernel needs concrete depth
+        # values for its static plane chunking (under jit, jnp
+        # constants become tracers; np constants stay concrete)
+        self.cv_frustum = np.asarray(FR.make_frustum(
             self.grid.depth, self.input_size, self.cfg.depthnet.cv_downsample))
         self.D = self.grid.num_depth_bins
         self.depth_net = DepthNet(

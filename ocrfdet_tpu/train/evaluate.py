@@ -77,9 +77,14 @@ def run_eval(cfg: OcRFDetConfig, model, params, batch_stats, loader,
         decoded = fwd(params, batch_stats, dev)
         # local shard of the global decode (process-addressable rows)
         if mesh is not None and jax.process_count() > 1:
+            # sort shards by their global row offset: iteration order
+            # of addressable_shards is not a documented contract, and
+            # rows must pair with this process's host batch order
             decoded = jax.tree.map(
-                lambda x: np.concatenate(
-                    [s.data for s in x.addressable_shards]), decoded)
+                lambda x: np.concatenate([
+                    s.data for s in sorted(
+                        x.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)]), decoded)
         decoded = jax.tree.map(np.asarray, decoded)
         B = batch["imgs"].shape[0]
         for b in range(B):
@@ -94,7 +99,8 @@ def run_eval(cfg: OcRFDetConfig, model, params, batch_stats, loader,
             if len(det_g):
                 det_g[:, 2] += det_g[:, 5] * 0.5
             evaluator.add_sample(det_g, det["scores"], det["labels"],
-                                 gt_boxes, gt_labels)
+                                 gt_boxes, gt_labels,
+                                 token=str(batch["sample_token"][b]))
             if out_json is not None:
                 tok = batch["sample_token"][b]
                 pose = (token_to_pose or {}).get(tok, dict(

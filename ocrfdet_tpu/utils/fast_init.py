@@ -21,7 +21,13 @@ _SMALL = (64, 176)   # /16 -> 4x11 feature grid; /4 stem ok
 
 def small_init_config(cfg: OcRFDetConfig) -> OcRFDetConfig:
     data = dataclasses.replace(cfg.data, input_size=_SMALL)
-    vt = dataclasses.replace(cfg.vt, render_image_size=_SMALL)
+    # the init graph is compiled for the host CPU while the default
+    # backend may still be the TPU; the Pallas cost-volume kernel must
+    # not be traced for a backend it will not run on — the gather path
+    # builds the identical (param-free) tree
+    vt = dataclasses.replace(
+        cfg.vt, render_image_size=_SMALL,
+        depthnet=dataclasses.replace(cfg.vt.depthnet, cv_impl="scan"))
     return dataclasses.replace(cfg, data=data, vt=vt)
 
 

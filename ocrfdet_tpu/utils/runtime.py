@@ -24,9 +24,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def enable_compilation_cache(path: str | None = None) -> None:
-    """Point jax at a persistent on-disk compilation cache."""
-    path = path or os.environ.get("OCRFDET_JAX_CACHE",
+    """Point jax at a persistent on-disk compilation cache.
+
+    The directory is keyed by (backend, device kind, machine): XLA:CPU
+    AOT executables record the COMPILE machine's feature set, so a
+    cache shared across machines or backends replays "could lead to
+    SIGILL" loader warnings on every run and risks real illegal
+    instructions."""
+    base = path or os.environ.get("OCRFDET_JAX_CACHE",
                                   "/tmp/ocrfdet_jaxcache")
+    try:
+        kind = jax.devices()[0].device_kind.replace(" ", "_")
+    except Exception:  # noqa: BLE001 - no backend yet
+        kind = "unknown"
+    # arch alone is not enough: XLA:CPU AOT records the exact feature
+    # set (avx512 variants etc.), so hash the cpuinfo flags
+    try:
+        import hashlib
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+        feat = hashlib.md5(flags.encode()).hexdigest()[:8]
+    except OSError:
+        feat = "nofeat"
+    key = f"{jax.default_backend()}-{kind}-{os.uname().machine}-{feat}"
+    path = os.path.join(base, key)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)

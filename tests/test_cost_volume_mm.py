@@ -1,0 +1,140 @@
+"""MXU one-hot-matmul cost volume == gather cost volume.
+
+The Pallas kernel (ops/cost_volume.py cost_volume_mm) reformulates the
+bilinear plane-sweep warp as windowed tent-weight matmuls. On CPU it
+runs in interpreter mode over the identical kernel body, so these tests
+pin the kernel math against the scan/gather path on small shapes;
+geometry is drawn to include behind-camera candidates, out-of-view
+candidates, and partial-border taps. A separate case checks the
+documented window-clamp semantics under extreme magnification.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ocrfdet_tpu.ops.cost_volume import (cost_volume_mm, cost_volume_scan,
+                                         homography_coeffs,
+                                         stereo_cost_volume)
+
+
+def _geometry(rng, B, N, Hc, Wc, D, t_scale=0.4, rot=0.1,
+              depth_range=(1.5, 20.0)):
+    Hi, Wi = Hc * 4, Wc * 4
+    u, v = np.meshgrid(np.linspace(0, Wi - 1, Wc),
+                       np.linspace(0, Hi - 1, Hc), indexing="xy")
+    depths = np.exp(np.linspace(np.log(depth_range[0]),
+                                np.log(depth_range[1]), D))
+    frustum = np.stack([
+        np.broadcast_to(u, (D, Hc, Wc)),
+        np.broadcast_to(v, (D, Hc, Wc)),
+        np.broadcast_to(depths[:, None, None], (D, Hc, Wc))],
+        -1).astype(np.float32)
+    intr = np.broadcast_to(np.array(
+        [[60.0, 0, Wi / 2], [0, 60.0, Hi / 2], [0, 0, 1]],
+        np.float32), (B, N, 3, 3)).copy()
+    k2s = np.broadcast_to(np.eye(4, dtype=np.float32), (B, N, 4, 4)).copy()
+    th = rng.uniform(-rot, rot, (B, N))
+    cz, sz = np.cos(th), np.sin(th)
+    k2s[..., 0, 0] = cz
+    k2s[..., 0, 1] = -sz
+    k2s[..., 1, 0] = sz
+    k2s[..., 1, 1] = cz
+    k2s[..., :3, 3] = rng.standard_normal((B, N, 3)) * t_scale
+    thp = rng.uniform(-0.1, 0.1, (B, N))
+    pr = np.zeros((B, N, 3, 3), np.float32)
+    pr[..., 0, 0] = np.cos(thp) * 0.9
+    pr[..., 0, 1] = -np.sin(thp)
+    pr[..., 1, 0] = np.sin(thp)
+    pr[..., 1, 1] = np.cos(thp) * 0.9
+    pr[..., 2, 2] = 1.0
+    pt = np.zeros((B, N, 3), np.float32)
+    pt[..., :2] = rng.uniform(-3, 3, (B, N, 2))
+    return frustum, k2s, intr, pr, pt, (Hi, Wi)
+
+
+def _both_costs(rng, B=1, N=2, Hc=8, Wc=24, C=16, D=6, win_w=64,
+                return_curr=False, **geo_kw):
+    curr = jnp.asarray(rng.standard_normal((B, N, Hc, Wc, C)),
+                       jnp.float32)
+    # relu'd features like the real stem (exercises exact-zero taps)
+    prev = jnp.maximum(
+        jnp.asarray(rng.standard_normal((B, N, Hc, Wc, C)),
+                    jnp.float32), 0.0)
+    frustum, k2s, intr, pr, pt, input_size = _geometry(
+        rng, B, N, Hc, Wc, D, **geo_kw)
+    az, bz, a2, b2 = homography_coeffs(
+        jnp.asarray(frustum), jnp.asarray(k2s), jnp.asarray(intr),
+        jnp.asarray(pr), jnp.asarray(pt), input_size, (Hc, Wc))
+    depths = frustum[:, 0, 0, 2]
+    scan = np.asarray(cost_volume_scan(
+        curr, prev, jnp.asarray(depths), az, bz, a2, b2, 5.0))
+    mm = np.asarray(cost_volume_mm(
+        curr, prev, depths, az, bz, a2, b2, 5.0, win_w=win_w,
+        interpret=True))
+    if return_curr:
+        return scan, mm, np.asarray(curr)
+    return scan, mm
+
+
+def test_mm_matches_scan_full_window():
+    """win_w >= W: no windowing, exact for arbitrary geometry."""
+    rng = np.random.default_rng(0)
+    scan, mm = _both_costs(rng, win_w=64, t_scale=1.5, rot=0.3)
+    # bf16 tap accumulation (scan) vs f32 MXU accumulation (mm):
+    # tolerance covers the bf16 rounding of the gather path
+    np.testing.assert_allclose(mm, scan, rtol=3e-2, atol=3e-1)
+
+
+def test_mm_matches_scan_windowed():
+    """win_w < W with mild (realistic urban) geometry: window covers
+    every in-view sample, so the result still matches."""
+    rng = np.random.default_rng(1)
+    scan, mm = _both_costs(rng, Wc=48, win_w=32, t_scale=0.3, rot=0.05,
+                           depth_range=(4.0, 30.0))
+    np.testing.assert_allclose(mm, scan, rtol=3e-2, atol=3e-1)
+
+
+def test_mm_window_clamp_marks_overflow_invalid():
+    """Extreme magnification: samples beyond the window are scored as
+    invalid (+bias), never with a wrong warp value. Every mm entry is
+    either ~the scan cost or ~the scan's pre-bias cost + bias."""
+    rng = np.random.default_rng(2)
+    scan, mm, curr = _both_costs(rng, Wc=32, win_w=8, t_scale=3.0,
+                                 rot=0.4, depth_range=(1.2, 6.0),
+                                 return_curr=True)
+    close = np.isclose(mm, scan, rtol=5e-2, atol=5e-1)
+    # an overflowed sample is scored as if the warp were all-zero:
+    # sum_c |curr| + bias
+    zero_warp = np.abs(curr).sum(-1)[:, :, None] + 5.0  # [B,N,1,H,W]
+    clamped = np.isclose(mm, np.broadcast_to(zero_warp, mm.shape),
+                         rtol=5e-2, atol=5e-1)
+    assert np.all(close | clamped)
+    # the clamp must be the exception, not the rule
+    assert close.mean() > 0.5
+
+
+def test_wrapper_softmax_and_auto_dispatch():
+    rng = np.random.default_rng(3)
+    B, N, Hc, Wc, C, D = 1, 1, 8, 16, 8, 5
+    curr = jnp.asarray(rng.standard_normal((B, N, Hc, Wc, C)),
+                       jnp.float32)
+    prev = jnp.asarray(rng.standard_normal((B, N, Hc, Wc, C)),
+                       jnp.float32)
+    frustum, k2s, intr, pr, pt, input_size = _geometry(
+        rng, B, N, Hc, Wc, D)
+    for impl in ("scan", "mm", "auto"):
+        out = stereo_cost_volume(
+            curr, prev, jnp.asarray(frustum), jnp.asarray(k2s),
+            jnp.asarray(intr), jnp.asarray(pr), jnp.asarray(pt),
+            input_size, 5.0, impl=impl)
+        assert out.shape == (B, N, D, Hc, Wc)
+        np.testing.assert_allclose(np.asarray(out.sum(2)), 1.0,
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_mm_ragged_tiles():
+    """Feature sizes that do not divide the 16x16 pixel tile: padding
+    is behind-masked and cropped."""
+    rng = np.random.default_rng(4)
+    scan, mm = _both_costs(rng, Hc=10, Wc=21, win_w=32, t_scale=0.3)
+    np.testing.assert_allclose(mm, scan, rtol=3e-2, atol=3e-1)

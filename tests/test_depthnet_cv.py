@@ -55,7 +55,11 @@ def dense_cost_volume(curr_feat, prev_feat, cv_frustum, k2s_sensor,
     cost = jnp.sum(jnp.abs(
         curr_feat.reshape(B * N, 1, Hc * Wc, C).astype(jnp.float32)
         - warped.astype(jnp.float32)), axis=-1)
-    cost = jnp.where(warped[..., 0] == 0.0, cost + bias, cost)
+    # the reference's invalid flag reads group-local channel 0 of the
+    # LAST 4-channel group, i.e. stem channel C-4
+    # (view_transformer.py:578-592)
+    inv_ch = 4 * (C // 4 - 1) if C >= 8 else 0
+    cost = jnp.where(warped[..., inv_ch] == 0.0, cost + bias, cost)
     cost = cost.reshape(B, N, D, Hc, Wc)
     return jax.nn.softmax(-cost, axis=2)
 

@@ -17,11 +17,13 @@ pytestmark = pytest.mark.slow
 
 def _mini_teacher():
     return VGGTTeacherConfig(image_size=(28, 56), patch_size=14,
-                             embed_dim=32, depth=2, num_heads=4)
+                             embed_dim=32, depth=2, num_heads=4,
+                             patch_embed="dinov2", vit_depth=2, vit_native_grid=2)
 
 
 def test_aggregator_shapes():
-    agg = Aggregator(patch_size=14, embed_dim=32, depth=2, num_heads=4)
+    agg = Aggregator(patch_size=14, embed_dim=32, depth=2, num_heads=4,
+                     patch_embed="dinov2", vit_depth=2, vit_native_grid=2)
     imgs = jnp.ones((1, 2, 28, 56, 3))
     variables = agg.init(jax.random.PRNGKey(0), imgs)
     tokens, p0 = agg.apply(variables, imgs)

@@ -52,13 +52,24 @@ def main():
             ["ego2global_translation"])
         for info in dataset.infos}
 
-    # shard eval over the full device mesh (data axis); single-device
-    # runs degrade to a 1-way mesh
+    # shard eval over the data axis; single-device runs degrade to a
+    # 1-way mesh. In a multi-process run every process must own
+    # addressable devices in the mesh (make_array_from_process_local_
+    # data places each process's local batch rows), so the device
+    # subset takes an equal per-process prefix rather than
+    # jax.devices()[:n] (which is process 0's devices first).
     import jax
     from ocrfdet_tpu.parallel.mesh import make_mesh
-    n_eval = min(jax.device_count(), loader.local_batch_size)
-    mesh = make_mesh(data=n_eval, space=1,
-                     devices=jax.devices()[:n_eval])
+    if jax.process_count() > 1:
+        per_proc = min(loader.local_batch_size, jax.local_device_count())
+        by_proc: dict = {}
+        for d in jax.devices():
+            by_proc.setdefault(d.process_index, []).append(d)
+        devs = [d for p in sorted(by_proc) for d in by_proc[p][:per_proc]]
+    else:
+        devs = jax.devices()[:min(jax.device_count(),
+                                  loader.local_batch_size)]
+    mesh = make_mesh(data=len(devs), space=1, devices=devs)
     metrics = run_eval(cfg, model, params, batch_stats, loader,
                        out_json=args.out,
                        max_batches=args.max_batches or None,
