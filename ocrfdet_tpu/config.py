@@ -62,6 +62,12 @@ class DataConfig:
     flip: bool = True
     crop_h: Tuple[float, float] = (0.0, 0.0)
     resize_test: float = 0.0
+    # decode JPEGs at the nearest >= target scale inside libjpeg
+    # (PIL draft mode): ~3x cheaper host decode for the 900x1600 ->
+    # ~0.48x resize. The interim resample kernel differs slightly from
+    # a full-res decode + bilinear resize (PARITY.md); set False for
+    # bit-faithful reference augmentation.
+    jpeg_draft: bool = True
 
 
 @dataclass(frozen=True)

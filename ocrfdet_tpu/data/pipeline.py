@@ -202,9 +202,14 @@ def prepare_sample(cfg: OcRFDetConfig, all_infos: List[dict], index: int,
     for n, cam in enumerate(cams):
         cd = info["cams"][cam]
         with Image.open(cd["data_path"]) as im:
-            im = im.convert("RGB")
+            # aug is sampled from the RAW size (available pre-decode);
+            # draft mode then lets libjpeg decode at the nearest
+            # >= resize_dims scale before the exact PIL resize
             aug = sample_aug(cfg, rng, is_train, im.height, im.width)
             augs.append(aug)
+            if cfg.data.jpeg_draft:
+                im.draft("RGB", aug.resize_dims)
+            im = im.convert("RGB")
             img_aug = transform_image(im, aug)
             if imgs_wo_aug is not None:
                 # the frozen VGGT teacher sees the SAME sampled resize
@@ -243,6 +248,8 @@ def prepare_sample(cfg: OcRFDetConfig, all_infos: List[dict], index: int,
         for f, adj_info in enumerate(adj, start=1):
             acd = adj_info["cams"][cam]
             with Image.open(acd["data_path"]) as im2:
+                if cfg.data.jpeg_draft:
+                    im2.draft("RGB", aug.resize_dims)
                 arr2 = np.asarray(
                     transform_image(im2.convert("RGB"), aug),
                     dtype=np.float32)

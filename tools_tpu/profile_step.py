@@ -84,20 +84,46 @@ def parse_trace(logdir: str, topn: int = 40):
             tid_names[(ev["pid"], ev["tid"])] = (
                 ev.get("args", {}).get("name", ""))
 
-    per_op = collections.Counter()      # name -> us
+    per_op = collections.Counter()      # name -> us (self time)
     per_cat = collections.Counter()
     total_us = 0.0
     op_tids = {k for k, v in tid_names.items() if v == "XLA Ops"}
+    by_tid = collections.defaultdict(list)
     for ev in events:
         if ev.get("ph") != "X":
             continue
         if (ev.get("pid"), ev.get("tid")) not in op_tids:
             continue
-        name = ev.get("name", "?")
-        dur = float(ev.get("dur", 0.0))
-        per_op[name] += dur
-        total_us += dur
-        per_cat[categorize(name)] += dur
+        by_tid[(ev["pid"], ev["tid"])].append(ev)
+    # shard_map/jit introduce NESTED call events (e.g. jvp_Model_ spans
+    # containing the real ops); summing raw durations double-counts
+    # parents. Compute SELF time per event with an interval stack.
+    for evs in by_tid.values():
+        evs.sort(key=lambda e: (float(e["ts"]), -float(e.get("dur", 0))))
+        stack = []  # (end_ts, child_total_accum index into list)
+        child_tot = []
+        for ev in evs:
+            ts = float(ev["ts"])
+            dur = float(ev.get("dur", 0.0))
+            while stack and ts >= stack[-1][0] - 1e-9:
+                end, name_, dur_, idx = stack.pop()
+                self_us = max(0.0, dur_ - child_tot[idx])
+                per_op[name_] += self_us
+                per_cat[categorize(name_)] += self_us
+                total_us += self_us
+                if stack:
+                    child_tot[stack[-1][3]] += dur_
+            stack.append((ts + dur, ev.get("name", "?"), dur,
+                          len(child_tot)))
+            child_tot.append(0.0)
+        while stack:
+            end, name_, dur_, idx = stack.pop()
+            self_us = max(0.0, dur_ - child_tot[idx])
+            per_op[name_] += self_us
+            per_cat[categorize(name_)] += self_us
+            total_us += self_us
+            if stack:
+                child_tot[stack[-1][3]] += dur_
     if not per_op:
         seen = sorted({v for v in tid_names.values()})
         print("no 'XLA Ops' thread found; thread names were:", seen[:20])
