@@ -91,13 +91,79 @@ def bench_train(batch_size: int, steps: int, with_ocrf: bool):
     return frames_per_s, float(metrics["loss_total"]), mfu, step_flops
 
 
+def bench_with_loader(batch_size: int, steps: int):
+    """End-to-end throughput: real Loader (fake-nuScenes at real image
+    sizes, thread-pool decode+aug) feeding the sharded train step —
+    the analog of the reference tools/analysis_tools/benchmark.py
+    which measures through its torch DataLoader."""
+    import tempfile
+
+    import jax
+    from ocrfdet_tpu.config import ocrfdet_config
+    from ocrfdet_tpu.data.dataset import Loader, NuScenesDataset
+    from ocrfdet_tpu.data.fake_nuscenes import build_fake_nuscenes
+    from ocrfdet_tpu.models.detector import OcRFDet
+    from ocrfdet_tpu.parallel.mesh import make_mesh
+    from ocrfdet_tpu.parallel.step import build_train_step
+    from ocrfdet_tpu.train.optim import create_train_state, make_optimizer
+    from ocrfdet_tpu.utils.fast_init import fast_init
+    from ocrfdet_tpu.utils.runtime import (enable_compilation_cache,
+                                           shard_batch, shard_state)
+
+    enable_compilation_cache()
+    cfg = ocrfdet_config(batch_size=batch_size)
+    root = tempfile.mkdtemp(prefix="ocrf_benchdata_")
+    pkl = build_fake_nuscenes(root, cfg, n_samples=4 * batch_size,
+                              img_hw=(900, 1600))
+    ds = NuScenesDataset(cfg, pkl, is_train=True, cbgs=False)
+    loader = Loader(ds, batch_size, shuffle=True, num_workers=8,
+                    prefetch=4)
+    variables, model = fast_init(cfg, OcRFDet, train=True)
+    tx = make_optimizer(cfg.optim, variables["params"],
+                        steps_per_epoch=max(len(loader), 1))
+    mesh = make_mesh(data=jax.device_count(), space=1)
+    state = shard_state(mesh, create_train_state(variables, tx))
+    step_fn = build_train_step(cfg, model, tx, mesh)
+
+    def batches():
+        ep = 0
+        while True:
+            for b in loader.epoch(ep):
+                yield b
+            ep += 1
+
+    it = batches()
+    state, m = step_fn(state, shard_batch(mesh, next(it)))
+    jax.block_until_ready(m["loss_total"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = step_fn(state, shard_batch(mesh, next(it)))
+    jax.block_until_ready(m["loss_total"])
+    dt = time.perf_counter() - t0
+    return batch_size * steps / dt, float(m["loss_total"])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--batch-size", type=int, default=0,
                     help="0 = auto (try 2 then 1)")
     ap.add_argument("--no-ocrf", action="store_true")
+    ap.add_argument("--with-loader", action="store_true",
+                    help="end-to-end: real Loader (decode+aug) feeding "
+                         "the step instead of one resident batch")
     args = ap.parse_args()
+
+    if args.with_loader:
+        bs = args.batch_size or 2
+        fps, loss = bench_with_loader(bs, args.steps)
+        print(json.dumps({
+            "metric": "ocrfdet_train_frames_per_s_e2e",
+            "value": round(fps, 4), "unit": "frames/s",
+            "vs_baseline": round(fps / R01_FRAMES_PER_S, 4),
+            "batch_size": bs, "final_loss": round(loss, 4),
+            "mode": "with_loader"}))
+        return
 
     candidates = ([args.batch_size] if args.batch_size
                   else [2, 1])
@@ -113,6 +179,9 @@ def main():
                 "vs_baseline": round(fps / R01_FRAMES_PER_S, 4),
                 "batch_size": bs,
                 "final_loss": round(loss, 4),
+                # kernel-level metric: one resident synthetic batch,
+                # no input pipeline (run --with-loader for end-to-end)
+                "mode": "resident_batch",
             }
             if mfu is not None and np.isfinite(mfu):
                 rec["mfu"] = round(mfu, 4)

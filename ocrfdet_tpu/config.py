@@ -251,6 +251,14 @@ class ParallelConfig:
     # divides the camera count); FPN/stem features are all-gathered
     # before the BEV stage.
     shard_cameras: bool = False
+    # phase-2 spatial sharding: keep the camera shard through the view
+    # transformer interior (DepthNet, stereo cost volume, LSS pooling,
+    # HT gathers, NeRF alpha maps) — the cross-camera SUMS (bev pool,
+    # ht pool, voxel alpha/rgb means) psum over `space` and only the
+    # small per-camera outputs (depth/semantic maps for losses, FPN +
+    # alphas for the render branch) are all-gathered. Removes the bulk
+    # of the replicated post-encoder work SURVEY §2.7 flags.
+    shard_vt: bool = True
 
 
 @dataclass(frozen=True)

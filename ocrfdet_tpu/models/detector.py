@@ -81,35 +81,49 @@ class OcRFDet(nn.Module):
             name="img_bev_encoder_neck")
         self.head = CenterHead(cfg.head, dtype=dtype, name="pts_bbox_head")
 
-    def image_encoder(self, imgs, train: bool, stem_only: bool = False):
+    def _space_shard(self):
+        """(active, S): camera sharding over the `space` mesh axis is
+        active only under shard_map (axis_index would throw at plain
+        trace time, e.g. flax init)."""
+        if not (self.cfg.parallel.shard_cameras
+                and self.cfg.parallel.space_axis > 1):
+            return False, 1
+        try:
+            jax.lax.axis_index("space")
+        except NameError:
+            return False, 1
+        return True, self.cfg.parallel.space_axis
+
+    def _slice_cams(self, t, N: int, axis: int = 1):
+        """Take this space member's camera block along `axis`."""
+        S = self.cfg.parallel.space_axis
+        assert N % S == 0, (N, S)
+        nl = N // S
+        return jax.lax.dynamic_slice_in_dim(
+            t, jax.lax.axis_index("space") * nl, nl, axis=axis)
+
+    def image_encoder(self, imgs, train: bool, stem_only: bool = False,
+                      gather: bool = True):
         """imgs [B, N, H, W, 3] -> (fpn_feat [B,N,h,w,C], stem feat).
 
         With cfg.parallel.shard_cameras (under shard_map with a
         'space' axis), each device runs the backbone on N/space
-        cameras and the features are all-gathered over ICI — the
-        camera axis is this model's analogue of sequence parallelism.
+        cameras — the camera axis is this model's analogue of sequence
+        parallelism. With gather=True the features are all-gathered
+        over ICI; gather=False keeps the local camera block (phase-2
+        sharding: the view transformer consumes local cameras and
+        psums its cross-camera reductions instead).
         """
         B, N, H, W, C = imgs.shape
-        shard = self.cfg.parallel.shard_cameras \
-            and self.cfg.parallel.space_axis > 1
+        shard, S = self._space_shard()
         if shard:
-            try:
-                sidx = jax.lax.axis_index("space")
-            except NameError:
-                # not under shard_map (e.g. during init): run unsharded
-                shard = False
-        if shard:
-            S = self.cfg.parallel.space_axis
-            assert N % S == 0, (N, S)
-            nl = N // S
-            imgs = jax.lax.dynamic_slice_in_dim(imgs, sidx * nl, nl,
-                                                axis=1)
-            N = nl
+            imgs = self._slice_cams(imgs, N)
+            N = N // S
         x = imgs.reshape(B * N, H, W, C).astype(self.dtype)
         if stem_only:
             stem = self.backbone(x, train=train, stem_only=True)
             stem = stem.reshape(B, N, *stem.shape[1:])
-            if shard:
+            if shard and gather:
                 stem = jax.lax.all_gather(
                     stem, "space", axis=1, tiled=True)
             return None, stem
@@ -118,7 +132,7 @@ class OcRFDet(nn.Module):
         fpn = self.neck(feats[1:])
         fpn = fpn.reshape(B, N, *fpn.shape[1:])
         stem = stem.reshape(B, N, *stem.shape[1:])
-        if shard:
+        if shard and gather:
             fpn = jax.lax.all_gather(fpn, "space", axis=1, tiled=True)
             stem = jax.lax.all_gather(stem, "space", axis=1, tiled=True)
         return fpn, stem
@@ -139,6 +153,24 @@ class OcRFDet(nn.Module):
         F_total = batch["imgs"].shape[1]
         n_temporal = cfg.num_frames
         key_cams = self._frame_cams(batch, 0)
+        N_total = batch["imgs"].shape[2]
+
+        # phase-2 camera sharding: the VT interior runs on this space
+        # member's cameras; cross-camera sums psum over `space` inside
+        # the VT and the small per-camera outputs are gathered below
+        shard, S = self._space_shard()
+        deep = shard and cfg.parallel.shard_vt
+        slice_n = (lambda t, ax=1: self._slice_cams(t, N_total, ax)) \
+            if deep else (lambda t, ax=1: t)
+
+        def local_cams(c: CameraParams) -> CameraParams:
+            if not deep:
+                return c
+            return CameraParams(
+                rots=slice_n(c.rots), trans=slice_n(c.trans),
+                intrins=slice_n(c.intrins),
+                post_rots=slice_n(c.post_rots),
+                post_trans=slice_n(c.post_trans), bda=c.bda)
 
         # ---- frame loop, oldest first (stereo ref -> prev -> key) ----
         stem_prev = None
@@ -150,13 +182,17 @@ class OcRFDet(nn.Module):
             imgs_f = batch["imgs"][:, f]
             if is_stereo_ref:
                 _, stem_prev = self.image_encoder(imgs_f, train,
-                                                  stem_only=True)
+                                                  stem_only=True,
+                                                  gather=not deep)
                 stem_prev = jax.lax.stop_gradient(stem_prev)
                 continue
-            fpn, stem = self.image_encoder(imgs_f, train)
-            cams = self._frame_cams(batch, f)
+            fpn, stem = self.image_encoder(imgs_f, train,
+                                           gather=not deep)
+            cams_full = self._frame_cams(batch, f)
+            cams = local_cams(cams_full)
             mlp_input = camera_mlp_input(
-                key_cams.rots, key_cams.trans, cams.intrins, cams.post_rots,
+                slice_n(key_cams.rots), slice_n(key_cams.trans),
+                cams.intrins, cams.post_rots,
                 cams.post_trans, batch["bda"]).astype(jnp.float32)
             cv = None
             if cfg.use_stereo and stem_prev is not None:
@@ -174,7 +210,8 @@ class OcRFDet(nn.Module):
                 cv = stereo_cost_volume(
                     _pool(stem).astype(jnp.float32),
                     _pool(stem_prev).astype(jnp.float32),
-                    self.vt.cv_frustum, batch["k2s_sensor"][:, f],
+                    self.vt.cv_frustum,
+                    slice_n(batch["k2s_sensor"][:, f]),
                     cams.intrins, cams.post_rots, cams.post_trans,
                     cfg.data.input_size,
                     cfg.vt.depthnet.cost_volume_bias,
@@ -187,15 +224,27 @@ class OcRFDet(nn.Module):
             if cfg.with_ocrf:
                 bev, aux = self.vt(fpn, cams, mlp_input, batch,
                                    cost_volume=cv, is_key=is_key,
-                                   train=train)
+                                   train=train,
+                                   space_axis="space" if deep else None,
+                                   cams_full=cams_full)
             else:
                 depth, semantic, context = self.vt(
                     fpn, cams, mlp_input, cost_volume=cv, train=train)
-                bev = self.vt.splat(depth, context, cams)
+                bev = self.vt.splat(depth, context, cams,
+                                    psum_axis="space" if deep else None)
                 aux = dict(depth=depth, semantic=semantic)
             bev = self.pre_process_net(bev, train=train)[0]
             if is_key:
                 key_aux = aux
+                if deep:
+                    # per-camera maps back to the full camera set for
+                    # the loss layer / distillation heads
+                    for k in ("depth", "semantic"):
+                        if key_aux.get(k) is not None:
+                            key_aux[k] = jax.lax.all_gather(
+                                key_aux[k], "space", axis=1, tiled=True)
+                    fpn = jax.lax.all_gather(fpn, "space", axis=1,
+                                             tiled=True)
                 # stashed for subclass heads (GeoEnhDet distillation)
                 key_aux["fpn_key"] = fpn
             else:

@@ -31,6 +31,20 @@ class MLP2(nn.Module):
         return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
 
 
+class SigmaMLP(nn.Module):
+    """NeRF density head: two STACKED Linears (no inner activation)
+    ending in softplus (view_transformer_ocrf.py:605 builds
+    nn.Sequential(Linear, Linear, Softplus))."""
+    hidden: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.Dense(1, dtype=self.dtype, name="fc2")(x)
+        return nn.softplus(x)
+
+
 class ScaleMLP(nn.Module):
     hidden: int = 4
     dtype: Dtype = jnp.float32

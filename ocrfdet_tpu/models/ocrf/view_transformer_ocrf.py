@@ -44,7 +44,7 @@ from .deform_attn import DeformableAttention2D
 from .fusion import (BEVGeomAttention, DualFeatFusion,
                      LearnedPositionalEncoding, OpacityMask, ProbNet)
 from .heads import (ColorMLP, LearnedBlend, MLP2, OpacityMLP, ResizeNetwork,
-                    RotationMLP, ScaleMLP)
+                    RotationMLP, ScaleMLP, SigmaMLP)
 from .hoa import OpacityVoxelToBEV
 
 Dtype = Any
@@ -97,7 +97,9 @@ class OcRFViewTransformer(nn.Module):
         # nerf branch
         self.image_feat_resize = ResizeNetwork(c, dtype=self.dtype,
                                                name="image_feat_resize")
-        self.sigma_mlp = MLP2(4, 1, dtype=self.dtype, name="sigma")
+        # reference sigma head stacks two Linears WITHOUT an inner
+        # activation (view_transformer_ocrf.py:605)
+        self.sigma_mlp = SigmaMLP(4, dtype=self.dtype, name="sigma")
         self.c_mlp_nerf = MLP2(4, 3, dtype=self.dtype, name="C_MLP_nerf")
         self.d_mlp_nerf = MLP2(4, 1, dtype=self.dtype, name="D_MLP_nerf")
         self.feat_resize1 = MLP2(4, 3, dtype=self.dtype,
@@ -122,13 +124,16 @@ class OcRFViewTransformer(nn.Module):
             (ref * (pc[3:6] - pc[0:3]) + pc[0:3]).reshape(-1, 3))
 
     # ------------------------------------------------------------------
-    def ht_pool(self, depth, context, cams: CameraParams):
+    def ht_pool(self, depth, context, cams: CameraParams,
+                psum_axis=None):
         """Height-trick branch: project 13 points per BEV pillar into
         all cameras, gather depth-weighted context at the nearest
         feature pixel/bin, sum over (camera, height).
 
         depth [B,N,h,w,D]; context [B,N,h,w,C].
         Returns (ht_feat [B,Y,X,C], uvd [B,N,Z,Nq,3], valid).
+        With cameras sharded over `psum_axis` the camera sum is
+        restored over ICI; uvd/valid stay LOCAL to the shard.
         """
         cfg = self.cfg
         B, N, h, w, D = depth.shape
@@ -167,16 +172,20 @@ class OcRFViewTransformer(nn.Module):
             contrib = (feat * wgt[..., None].astype(feat.dtype)) \
                 .reshape(B, Zh, Nq, C)
             acc = acc + jnp.sum(contrib, axis=1)
+        if psum_axis is not None:
+            acc = jax.lax.psum(acc, psum_axis)
         ht = acc.reshape(B, cfg.bev_h, cfg.bev_w, C)
         return ht, uvd, valid
 
     # ------------------------------------------------------------------
-    def sample_at_voxels(self, images, uvd, valid):
+    def sample_at_voxels(self, images, uvd, valid, psum_axis=None):
         """Sample per-camera full-res maps at projected voxel points and
         average over visible cameras.
 
         images [B, N, H, W, C]; uvd/valid from ht_pool.
-        Returns [B, Z, Nq, C] masked mean over cameras.
+        Returns [B, Z, Nq, C] masked mean over cameras; with cameras
+        sharded over `psum_axis` the numerator and visibility count
+        are both psum'd so the mean spans every camera.
         """
         H, W = images.shape[2], images.shape[3]
         px = uvd[..., 0] * W
@@ -190,8 +199,11 @@ class OcRFViewTransformer(nn.Module):
         vals = jax.vmap(jax.vmap(one_cam))(images, px, py)  # [B,N,Z,Nq,C]
         vmask = valid[..., None].astype(vals.dtype)
         s = jnp.sum(vals * vmask, axis=1)
-        cnt = jnp.maximum(jnp.sum(vmask, axis=1), 1.0)
-        return s / cnt
+        cnt = jnp.sum(vmask, axis=1)
+        if psum_axis is not None:
+            s = jax.lax.psum(s, psum_axis)
+            cnt = jax.lax.psum(cnt, psum_axis)
+        return s / jnp.maximum(cnt, 1.0)
 
     # ------------------------------------------------------------------
     def nerf_full_feat(self, fpn_feat):
@@ -200,13 +212,20 @@ class OcRFViewTransformer(nn.Module):
         return self.image_feat_resize(fpn_feat)
 
     def nerf_alpha(self, full_feat):
-        sigma = nn.softplus(self.sigma_mlp(full_feat))
+        sigma = self.sigma_mlp(full_feat)        # softplus inside
         return 1.0 - jnp.exp(-sigma)
 
     # ------------------------------------------------------------------
     def __call__(self, x, cams: CameraParams, mlp_input, batch,
                  cost_volume=None, is_key: bool = False,
-                 train: bool = False):
+                 train: bool = False, space_axis=None,
+                 cams_full: Optional[CameraParams] = None):
+        """With `space_axis` the camera axis of x/cams/mlp_input/
+        cost_volume is this space member's LOCAL block: every
+        cross-camera reduction (LSS pool, HT pool, voxel alpha/rgb
+        mean) psums over the axis, and the render branch — which picks
+        one arbitrary camera per sample — all-gathers the (small) FPN
+        and alpha maps and uses `cams_full`."""
         cfg = self.cfg
         B, N = x.shape[:2]
         Zh = cfg.num_height
@@ -219,8 +238,10 @@ class OcRFViewTransformer(nn.Module):
         img_mask = (semantic[..., 1:2] >= cfg.semantic_threshold)
         f_context = context * img_mask.astype(context.dtype)
 
-        lss_feat = self.lss.splat(f_depth, f_context, cams)
-        ht_feat, uvd, valid = self.ht_pool(f_depth, f_context, cams)
+        lss_feat = self.lss.splat(f_depth, f_context, cams,
+                                  psum_axis=space_axis)
+        ht_feat, uvd, valid = self.ht_pool(f_depth, f_context, cams,
+                                           psum_axis=space_axis)
 
         # voxel lift: [B, Y, X, C] -> per-height features [B,Zh,Nq,C]
         vf = (ht_feat.reshape(B, 1, Nq, -1)
@@ -256,8 +277,18 @@ class OcRFViewTransformer(nn.Module):
         maps = alphas[..., None].astype(jnp.float32)
         if render_on:
             imgs_rgb = batch["imgs_wo_norm"].astype(jnp.float32) / 255.0
-            maps = jnp.concatenate([maps, imgs_rgb], axis=-1)
-        sampled = self.sample_at_voxels(maps, uvd, valid)
+            if space_axis is not None:
+                # batch tensors carry the FULL camera set (replicated
+                # over `space`); take this shard's block
+                nl = N
+                imgs_rgb_l = jax.lax.dynamic_slice_in_dim(
+                    imgs_rgb, jax.lax.axis_index(space_axis) * nl, nl,
+                    axis=1)
+            else:
+                imgs_rgb_l = imgs_rgb
+            maps = jnp.concatenate([maps, imgs_rgb_l], axis=-1)
+        sampled = self.sample_at_voxels(maps, uvd, valid,
+                                        psum_axis=space_axis)
         alpha_lidar = sampled[..., 0]
         vox_rgb = sampled[..., 1:4] if render_on else None
         alpha_vox = alpha_lidar.reshape(B, Zh, cfg.bev_h, cfg.bev_w)
@@ -296,8 +327,19 @@ class OcRFViewTransformer(nn.Module):
         )
 
         if render_on:
+            if space_axis is not None:
+                # the render camera is an arbitrary index into the FULL
+                # set: gather the small per-camera maps once over ICI
+                x_r = jax.lax.all_gather(x, space_axis, axis=1,
+                                         tiled=True)
+                alphas_r = jax.lax.all_gather(alphas, space_axis,
+                                              axis=1, tiled=True)
+                cams_r = cams_full if cams_full is not None else cams
+            else:
+                x_r, alphas_r, cams_r = x, alphas, cams
             aux.update(self.render_branch(
-                x, cams, batch, voxel_feat, opacity, vox_rgb, alphas))
+                x_r, cams_r, batch, voxel_feat, opacity, vox_rgb,
+                alphas_r))
         return geom_feat, aux
 
     # ------------------------------------------------------------------

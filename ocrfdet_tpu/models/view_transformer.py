@@ -101,10 +101,14 @@ class LSSViewTransformer(nn.Module):
             semantic = semantic.reshape(B, N, h, w, S)
         return depth, semantic, context
 
-    def splat(self, depth, context, cams: CameraParams):
+    def splat(self, depth, context, cams: CameraParams,
+              psum_axis=None):
         """Depth-weighted pooling onto the BEV grid.
 
         depth [B,N,h,w,D], context [B,N,h,w,C] -> bev [B,Y,X,C].
+        The BEV is a SUM over cameras, so with cameras sharded over a
+        mesh axis each shard pools its local block and `psum_axis`
+        restores the full-camera sum over ICI.
         """
         grid = self.grid
         coor = FR.frustum_to_ego(
@@ -117,5 +121,8 @@ class LSSViewTransformer(nn.Module):
             (grid.x[2], grid.y[2], grid.z[2]), (X, Y, Z))
         # depth laid out [B,N,D,h,w] for pooling
         depth_d = jnp.moveaxis(depth, -1, 2)
-        return bev_pool_lss(depth_d, context, vox_idx, valid, (X, Y, Z),
-                            impl=self.pool_impl)
+        bev = bev_pool_lss(depth_d, context, vox_idx, valid, (X, Y, Z),
+                           impl=self.pool_impl)
+        if psum_axis is not None:
+            bev = jax.lax.psum(bev, psum_axis)
+        return bev

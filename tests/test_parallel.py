@@ -120,3 +120,84 @@ def test_camera_sharding_matches_replicated():
         for a, b in zip(jax.tree.leaves(s_rep.params),
                         jax.tree.leaves(s_shd.params)))
     assert worst < 2e-2, worst
+
+
+def test_deep_camera_sharding_ocrf_eval_matches():
+    """Phase-2 spatial sharding (shard_vt): the OcRF eval forward with
+    the VT interior sharded over a 2-way space axis equals the
+    unsharded forward (eval mode: BN running stats, no dropout — the
+    only differences are cross-camera reduction orders)."""
+    import dataclasses
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from ocrfdet_tpu.config import ParallelConfig
+
+    base = tiny_config(with_ocrf=True)
+    batch = _to_jnp(make_batch(base, batch_size=2, seed=3))
+    model_rep = OcRFDet(base)
+    variables = model_rep.init(jax.random.PRNGKey(0), batch, train=True)
+    preds_rep, aux_rep = model_rep.apply(variables, batch, train=False)
+
+    cfg_sh = dataclasses.replace(
+        base, parallel=ParallelConfig(space_axis=2, shard_cameras=True,
+                                      shard_vt=True))
+    model_sh = OcRFDet(cfg_sh)
+    mesh = make_mesh(data=1, space=2, devices=jax.devices()[:2])
+
+    def local(params, bstats, b):
+        return model_sh.apply({"params": params, "batch_stats": bstats},
+                              b, train=False)
+
+    preds_sh, aux_sh = jax.jit(shard_map(
+        local, mesh=mesh, in_specs=(P(), P(), P()), out_specs=P(),
+        check_vma=False))(variables["params"], variables["batch_stats"],
+                          batch)
+    for t_rep, t_sh in zip(preds_rep, preds_sh):
+        for k in t_rep:
+            np.testing.assert_allclose(
+                np.asarray(t_rep[k], np.float32),
+                np.asarray(t_sh[k], np.float32), rtol=2e-3, atol=2e-4,
+                err_msg=k)
+    np.testing.assert_allclose(np.asarray(aux_rep["depth"]),
+                               np.asarray(aux_sh["depth"]),
+                               rtol=2e-3, atol=2e-4)
+    assert aux_sh["depth"].shape == aux_rep["depth"].shape
+
+
+def test_deep_camera_sharding_cuts_per_device_flops():
+    """shard_vt must REDUCE the per-device program: the compiled train
+    step's cost-analysis flops with the VT interior sharded are
+    measurably below the gather-then-replicate variant on the same
+    data=2 x space=2 mesh."""
+    import dataclasses
+    from ocrfdet_tpu.config import ParallelConfig
+    from ocrfdet_tpu.utils.runtime import shard_batch, shard_state
+
+    base = tiny_config(with_ocrf=True)
+    batch = _to_jnp(make_batch(base, batch_size=2, seed=4))
+    mesh = make_mesh(data=2, space=2, devices=jax.devices()[:4])
+
+    def flops(shard_vt):
+        cfg = dataclasses.replace(
+            base, parallel=ParallelConfig(space_axis=2,
+                                          shard_cameras=True,
+                                          shard_vt=shard_vt))
+        model = OcRFDet(cfg)
+        variables = model.init(jax.random.PRNGKey(0), batch, train=True)
+        tx = make_optimizer(cfg.optim, variables["params"],
+                            steps_per_epoch=100)
+        state = shard_state(mesh, create_train_state(variables, tx))
+        b = shard_batch(mesh, batch)
+        step = build_train_step(cfg, model, tx, mesh)
+        cost = step.lower(state, b).compile().cost_analysis()
+        return float(cost["flops"])
+
+    f_deep = flops(True)
+    f_gather = flops(False)
+    # at TINY scale the backbone (sharded in both variants) dominates,
+    # so the interior-sharding delta is a few percent; at flagship
+    # scale the VT interior (stereo CV + DepthNet + NeRF resize) is
+    # the majority of post-encoder FLOPs. Guard that the delta exists
+    # and has the right sign; magnitude is validated by the flagship
+    # cost analysis in the round bench notes.
+    assert f_deep < 0.98 * f_gather, (f_deep, f_gather)
