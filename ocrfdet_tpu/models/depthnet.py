@@ -7,12 +7,8 @@ stereo cost volume from the previous frame's stem features, three
 BasicBlocks + ASPP, and a final 1x1 producing D+2 depth/semantic logits;
 context channels are produced by a separate 1x1.
 
-The stereo cost volume (calculate_cost_volumn :568-596) warps the
-previous-frame stem feature along the D candidate depths via the
-key->sweep sensor homography and scores |curr - warp| summed over
-channels (the reference's group-size-4 loop is pure memory chunking;
-the math is a full channel sum). Out-of-view candidates get a +bias
-before the softmax over depth.
+The stereo cost volume itself lives in ops/cost_volume.py (Pallas MXU
+kernel + gather mirror) and is re-exported here for compatibility.
 """
 from __future__ import annotations
 

@@ -81,3 +81,42 @@ def test_geoenh_train_step_losses():
     assert gsum(grads["aligner"]) > 0
     assert gsum(grads["aggregator"]) == 0.0
     assert gsum(grads["img_backbone"]) > 0   # student grads flow
+
+
+def test_kd_losses_descend_under_optimization():
+    """Round-3 evidence item: the KD objective OPTIMIZES — a dozen
+    adam steps on the student (frozen DINOv2-layout teacher, real key
+    schema) drive the smooth-L1 + cosine distillation losses down."""
+    import optax
+
+    cfg = tiny_config(with_ocrf=True, vggt_teacher=_mini_teacher())
+    model = GeoEnhDet(cfg)
+    batch = make_batch(cfg, batch_size=1, seed=1)
+    batch = {k: jnp.asarray(v) if isinstance(v, np.ndarray) else v
+             for k, v in batch.items()}
+    variables = model.init(jax.random.PRNGKey(1), batch, train=True)
+    params, bstats = variables["params"], variables["batch_stats"]
+
+    def kd_loss(params, bstats):
+        (p, a), mut = model.apply(
+            {"params": params, "batch_stats": bstats},
+            batch, train=True, mutable=["batch_stats"])
+        return (a["loss_Smoothl1_KD"] + a["loss_cos_KD"],
+                mut["batch_stats"])
+
+    tx = optax.adam(3e-4)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, bstats, opt):
+        (loss, new_stats), grads = jax.value_and_grad(
+            kd_loss, has_aux=True)(params, bstats)
+        updates, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), new_stats, opt, loss
+
+    losses = []
+    for _ in range(12):
+        params, bstats, opt, loss = step(params, bstats, opt)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.8 * losses[0], losses

@@ -113,12 +113,17 @@ def main():
 
     trainer = Trainer(cfg, args.work_dir, steps_per_epoch=len(loader))
     trainer.init_state()
+    start = trainer.resume()   # continue a killed run from its ckpt
 
     log_path = os.path.join(args.work_dir, "metrics.jsonl")
-    if os.path.exists(log_path):
+    if start == 0 and os.path.exists(log_path):
         os.remove(log_path)
-    for epoch in range(args.epochs):
+    if start:
+        print(f"resuming at epoch {start}", flush=True)
+    for epoch in range(start, args.epochs):
         trainer.run_epoch(loader, epoch, log_every=max(len(loader), 1))
+        if (epoch + 1) % 10 == 0 or epoch == args.epochs - 1:
+            trainer.save(epoch)
 
     # ---- loss curve summary from the metrics log
     recs = [json.loads(l) for l in open(log_path)]
