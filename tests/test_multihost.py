@@ -27,9 +27,13 @@ WORKER = r"""
 import os, sys, pickle
 import numpy as np
 pid = int(sys.argv[1]); port = sys.argv[2]
+# the env var alone no longer outranks an ambient accelerator plugin,
+# and the XLA_FLAGS host-device-count flag is inert on jax 0.9: pin
+# both through the live config before any backend initialises
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
 jax.distributed.initialize(coordinator_address=f"localhost:{port}",
                            num_processes=2, process_id=pid)
 assert jax.process_count() == 2
@@ -80,12 +84,7 @@ def _free_port():
     return p
 
 
-def test_two_process_shard_and_gather(tmp_path):
-    script = tmp_path / "worker.py"
-    script.write_text(WORKER)
-    # the worker resolves the repo root from its own path; copy trick:
-    # point it at the real repo by running from the repo root instead
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+def _spawn_workers(script, repo):
     port = str(_free_port())
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
@@ -102,6 +101,23 @@ def test_two_process_shard_and_gather(tmp_path):
                 q.kill()
             raise
         outs.append(out)
+    return procs, outs
+
+
+def test_two_process_shard_and_gather(tmp_path):
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    # the worker resolves the repo root from its own path; copy trick:
+    # point it at the real repo by running from the repo root instead
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # the 2-process coordination-service bootstrap can flake when the
+    # host is saturated (worker B misses the join window and worker A
+    # observes process_count == 1); one clean retry distinguishes a
+    # real plumbing regression from scheduler starvation
+    for attempt in range(2):
+        procs, outs = _spawn_workers(script, repo)
+        if all(p.returncode == 0 for p in procs) or attempt == 1:
+            break
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"WORKER_{i}_OK" in out, out
