@@ -6,8 +6,22 @@ Prints ONE JSON line:
 The reference publishes no throughput numbers (SURVEY.md §6), so
 vs_baseline is reported against this framework's own committed round-1
 figure (BENCH_r01.json: 2.1367 frames/s at batch 2 on one v5e chip).
-Also reports MFU from XLA's compiled cost analysis of the full train
-step (fwd + bwd + AdamW + EMA).
+
+Two MFU figures are reported (VERDICT r3 Weak #2):
+  * mfu_executed — XLA's compiled-step FLOPs / time / peak. Counts
+    every FLOP the hardware executes, including arithmetic the Pallas
+    kernels deliberately burn to stay off the gather path (the one-hot
+    matmul cost volume trades ~50 TFLOP of MXU work for 16M gather
+    descriptors).
+  * mfu_model — model-math FLOPs / time / peak, where model FLOPs are
+    taken from XLA cost analysis of the SAME train step lowered with
+    the gather-based cost volume (cv_impl='scan', no burned matmul) —
+    the honest utilization number.
+
+Timing uses the AOT-compiled executable handle (lower().compile()),
+not jit re-dispatch: at ~1 s steps the jit call path (signature match +
+sharding checks, through a tunnelled runtime) costs 15-30% — the
+executable is what a real trainer loop holds, so it is what we time.
 """
 from __future__ import annotations
 
@@ -69,26 +83,58 @@ def bench_train(batch_size: int, steps: int, with_ocrf: bool):
                                          seed=0))
     step_fn = build_train_step(cfg, model, tx, mesh)
 
-    # compile + warmup
-    state, metrics = step_fn(state, batch)
+    # AOT-compile once and time the executable handle (see module
+    # docstring: jit re-dispatch costs 15-30% at ~1 s steps)
+    compiled = step_fn.lower(state, batch).compile()
+    state, metrics = compiled(state, batch)         # warmup
     jax.block_until_ready(metrics["loss_total"])
 
     t0 = time.perf_counter()
     for _ in range(steps):
-        state, metrics = step_fn(state, batch)
+        state, metrics = compiled(state, batch)
     jax.block_until_ready(metrics["loss_total"])
     dt = time.perf_counter() - t0
     frames_per_s = batch_size * steps / dt
 
-    mfu = None
+    mfu_exec = mfu_model = None
+    step_flops = model_flops = float("nan")
     try:
-        cost = step_fn.lower(state, batch).compile().cost_analysis()
+        cost = compiled.cost_analysis()
         step_flops = float(cost.get("flops", float("nan")))
-        mfu = step_flops / (dt / steps) / _peak_flops_per_s()
+        mfu_exec = step_flops / (dt / steps) / _peak_flops_per_s()
     except Exception as e:  # noqa: BLE001 - cost analysis is best-effort
         print(f"bench: cost analysis unavailable: {e!r}", file=sys.stderr)
-        step_flops = float("nan")
-    return frames_per_s, float(metrics["loss_total"]), mfu, step_flops
+    try:
+        # model-math FLOPs: the same step lowered with the gather cost
+        # volume (no burned one-hot matmuls). lower() only traces; the
+        # TPU runtime implements cost_analysis only on compiled
+        # executables, so the lowering runs on a 1-device CPU mesh with
+        # abstract shapes (FLOP counts are backend-independent).
+        import dataclasses
+        cfg_s = dataclasses.replace(
+            cfg, vt=dataclasses.replace(
+                cfg.vt, ht_impl="gather", sample_impl="gather",
+                renderer="xla",
+                depthnet=dataclasses.replace(
+                    cfg.vt.depthnet, cv_impl="scan")))
+        from ocrfdet_tpu.models.detector import OcRFDet as _M
+        cpu = jax.local_devices(backend="cpu")
+        mesh_cpu = make_mesh(data=1, space=1, devices=cpu[:1])
+        step_s = build_train_step(cfg_s, _M(cfg_s), tx, mesh_cpu)
+        abstract = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+            (state, batch))
+        cost_m = step_s.lower(*abstract).cost_analysis()
+        model_flops = float(cost_m.get("flops", float("nan")))
+        mfu_model = model_flops / (dt / steps) / _peak_flops_per_s()
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: model-flops analysis unavailable: {e!r}",
+              file=sys.stderr)
+    return dict(frames_per_s=frames_per_s,
+                loss=float(metrics["loss_total"]),
+                mfu_executed=mfu_exec, mfu_model=mfu_model,
+                step_tflops=step_flops / 1e12,
+                model_tflops=model_flops / 1e12)
 
 
 def bench_with_loader(batch_size: int, steps: int):
@@ -144,8 +190,20 @@ def bench_with_loader(batch_size: int, steps: int):
 
 
 def main():
+    import os
+    # XLA:CPU AOT cache loads log a benign per-executable ERROR about
+    # pseudo machine features (+prefer-no-gather is added by the AOT
+    # compiler but never reported by the host probe), flooding the
+    # recorded artifact tail. glog's level is fixed when the jaxlib .so
+    # loads, and this environment preloads jax at interpreter start
+    # (site .pth), so the only reliable suppression is re-exec with the
+    # env var set.
+    if os.environ.get("TF_CPP_MIN_LOG_LEVEL") != "3":
+        env = dict(os.environ, TF_CPP_MIN_LOG_LEVEL="3")
+        os.execvpe(sys.executable, [sys.executable] + sys.argv, env)
+
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--batch-size", type=int, default=0,
                     help="0 = auto (try 2 then 1)")
     ap.add_argument("--no-ocrf", action="store_true")
@@ -170,22 +228,28 @@ def main():
     last_err = None
     for bs in candidates:
         try:
-            fps, loss, mfu, step_flops = bench_train(
-                bs, args.steps, with_ocrf=not args.no_ocrf)
+            r = bench_train(bs, args.steps, with_ocrf=not args.no_ocrf)
+            fps = r["frames_per_s"]
             rec = {
                 "metric": "ocrfdet_train_frames_per_s_per_chip",
                 "value": round(fps, 4),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / R01_FRAMES_PER_S, 4),
                 "batch_size": bs,
-                "final_loss": round(loss, 4),
+                "steps": args.steps,
+                "final_loss": round(r["loss"], 4),
                 # kernel-level metric: one resident synthetic batch,
                 # no input pipeline (run --with-loader for end-to-end)
                 "mode": "resident_batch",
             }
-            if mfu is not None and np.isfinite(mfu):
-                rec["mfu"] = round(mfu, 4)
-                rec["step_tflops"] = round(step_flops / 1e12, 3)
+            if r["mfu_executed"] is not None \
+                    and np.isfinite(r["mfu_executed"]):
+                rec["mfu_executed"] = round(r["mfu_executed"], 4)
+                rec["step_tflops"] = round(r["step_tflops"], 3)
+            if r["mfu_model"] is not None \
+                    and np.isfinite(r["mfu_model"]):
+                rec["mfu_model"] = round(r["mfu_model"], 4)
+                rec["model_tflops"] = round(r["model_tflops"], 3)
             # the r01 baseline (2.1367 f/s) was measured with the
             # non-parity /16 stereo cost volume; the default has since
             # been restored to the reference-exact /4 (VERDICT #8),

@@ -26,7 +26,8 @@ def small_init_config(cfg: OcRFDetConfig) -> OcRFDetConfig:
     # not be traced for a backend it will not run on — the gather path
     # builds the identical (param-free) tree
     vt = dataclasses.replace(
-        cfg.vt, render_image_size=_SMALL,
+        cfg.vt, render_image_size=_SMALL, ht_impl="gather",
+        sample_impl="gather",
         depthnet=dataclasses.replace(cfg.vt.depthnet, cv_impl="scan"))
     return dataclasses.replace(cfg, data=data, vt=vt)
 
@@ -58,9 +59,19 @@ def fast_init(cfg: OcRFDetConfig, model_cls, rng_seed: int = 0,
     except RuntimeError:
         cpu = None
     if cpu is not None and jax.default_backend() != "cpu":
-        with jax.default_device(cpu):
-            variables = init_fn(jax.random.PRNGKey(rng_seed),
-                                jax.device_put(batch, cpu))
+        # do NOT persist this throwaway CPU executable: reloading
+        # XLA:CPU AOT results in later runs logs a spurious machine-
+        # feature-mismatch ERROR per executable (compiler pseudo-
+        # features vs the raw host probe), and recompiling the small
+        # init graph costs only seconds
+        cache_on = jax.config.jax_enable_compilation_cache
+        try:
+            jax.config.update("jax_enable_compilation_cache", False)
+            with jax.default_device(cpu):
+                variables = init_fn(jax.random.PRNGKey(rng_seed),
+                                    jax.device_put(batch, cpu))
+        finally:
+            jax.config.update("jax_enable_compilation_cache", cache_on)
     else:
         variables = init_fn(jax.random.PRNGKey(rng_seed), batch)
     return variables, model_cls(cfg)
