@@ -29,31 +29,46 @@ Dtype = Any
 
 
 def rope_2d_freqs(dim: int, positions: jnp.ndarray, base: float = 100.0):
-    """2D axial RoPE: half the head dim rotates with y, half with x.
+    """2D RoPE angles matching the reference RotaryPositionEmbedding2D
+    (vggt/layers/rope.py:63-190): the head dim splits into a VERTICAL
+    half rotated by y and a HORIZONTAL half rotated by x, and each half
+    applies 1D rotate-half rope WITHIN itself — i.e. feature pairs are
+    (i, i+dim/4), not (i, i+dim/2). inv_freq follows torch
+    `arange(0, dim/2, 2) / (dim/2)`.
 
-    positions [T, 2] (y, x) -> (cos [T, dim], sin [T, dim]).
+    positions [T, 2] (y, x) -> (cos [T, dim], sin [T, dim]) with layout
+    [aV, aV, aH, aH] (quarter blocks).
     """
     quarter = dim // 4
     freqs = 1.0 / (base ** (jnp.arange(quarter) / quarter))
     ay = positions[:, 0:1] * freqs[None]         # [T, dim/4]
     ax = positions[:, 1:2] * freqs[None]
-    ang = jnp.concatenate([ay, ax], axis=-1)     # [T, dim/2]
-    ang = jnp.concatenate([ang, ang], axis=-1)   # [T, dim]
+    ang = jnp.concatenate([ay, ay, ax, ax], axis=-1)   # [T, dim]
     return jnp.cos(ang), jnp.sin(ang)
 
 
 def apply_rope(x, cos, sin):
-    """x [..., T, d]; rotate-half convention."""
-    d2 = x.shape[-1] // 2
-    x1, x2 = x[..., :d2], x[..., d2:]
-    xr = jnp.concatenate([-x2, x1], axis=-1)
-    return x * cos + xr * sin
+    """x [..., T, d]; per-half rotate-half (pairs (i, i+d/4)), matching
+    the reference's independent 1D rope on each d/2 half."""
+    d = x.shape[-1]
+    h, q = d // 2, d // 4
+
+    def rot_half(t):
+        return jnp.concatenate([-t[..., q:], t[..., :q]], axis=-1)
+
+    v, hh = x[..., :h], x[..., h:]
+    out_v = v * cos[..., :h] + rot_half(v) * sin[..., :h]
+    out_h = hh * cos[..., h:] + rot_half(hh) * sin[..., h:]
+    return jnp.concatenate([out_v, out_h], axis=-1)
 
 
 class Attention(nn.Module):
     dim: int
     num_heads: int
     qk_norm: bool = True
+    # torch nn.LayerNorm default (the VGGT frame/global blocks use it;
+    # the DINOv2 ViT passes 1e-6, vision_transformer.py:94)
+    eps: float = 1e-5
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -68,8 +83,10 @@ class Attention(nn.Module):
             return t.reshape(B, T, self.num_heads, hd).transpose(0, 2, 1, 3)
         q, k, v = heads(q), heads(k), heads(v)
         if self.qk_norm:
-            q = nn.LayerNorm(dtype=self.dtype, name="q_norm")(q)
-            k = nn.LayerNorm(dtype=self.dtype, name="k_norm")(k)
+            q = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype,
+                             name="q_norm")(q)
+            k = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype,
+                             name="k_norm")(k)
         if rope is not None:
             cos, sin = rope
             q = apply_rope(q, cos[None, None], sin[None, None])
@@ -87,6 +104,7 @@ class Block(nn.Module):
     mlp_ratio: float = 4.0
     init_values: float = 0.01
     qk_norm: bool = True
+    eps: float = 1e-5            # see Attention.eps
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -95,17 +113,49 @@ class Block(nn.Module):
                          (self.dim,))
         ls2 = self.param("ls2", nn.initializers.constant(self.init_values),
                          (self.dim,))
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype,
+                         name="norm1")(x)
         y = Attention(self.dim, self.num_heads, qk_norm=self.qk_norm,
-                      dtype=self.dtype, name="attn")(y, rope=rope)
+                      eps=self.eps, dtype=self.dtype, name="attn")(
+                          y, rope=rope)
         x = x + ls1 * y
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype,
+                         name="norm2")(x)
         h = int(self.dim * self.mlp_ratio)
         y = nn.Dense(h, dtype=self.dtype, name="mlp_fc1")(y)
         # exact erf GELU (torch nn.GELU default)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
         return x + ls2 * y
+
+
+def torch_bicubic_matrix(n_in: int, n_out: int,
+                         scale_factor: float | None = None) -> np.ndarray:
+    """[n_out, n_in] interpolation matrix reproducing torch
+    `F.interpolate(mode='bicubic', align_corners=False, antialias=False)`
+    exactly: cubic convolution kernel a=-0.75, source coordinate
+    (o + 0.5) / scale - 0.5 where scale is the EXPLICIT scale_factor
+    when given (DINOv2 passes the interpolate_offset=0.1 kludge:
+    scale = (n_out + 0.1) / n_in, vision_transformer.py:195-201) else
+    n_out / n_in, with border-clamped taps."""
+    A = -0.75
+
+    def cubic(t):        # |t| <= 1
+        return ((A + 2.0) * t - (A + 3.0)) * t * t + 1.0
+
+    def cubic2(t):       # 1 < |t| <= 2
+        return ((A * t - 5.0 * A) * t + 8.0 * A) * t - 4.0 * A
+
+    scale = float(scale_factor) if scale_factor else n_out / n_in
+    W = np.zeros((n_out, n_in), np.float64)
+    for o in range(n_out):
+        src = (o + 0.5) / scale - 0.5
+        i0 = int(np.floor(src))
+        t = src - i0
+        w4 = (cubic2(t + 1.0), cubic(t), cubic(1.0 - t), cubic2(2.0 - t))
+        for k, wk in enumerate(w4):
+            W[o, int(np.clip(i0 - 1 + k, 0, n_in - 1))] += wk
+    return W.astype(np.float32)
 
 
 class DinoViT(nn.Module):
@@ -118,10 +168,11 @@ class DinoViT(nn.Module):
     Returns `x_norm_patchtokens` — the final-LayerNorm patch tokens
     with cls/register tokens stripped. The learned pos-embed is stored
     at its native grid (37x37 for the released 518px checkpoint) and
-    bicubically resized to the actual patch grid at trace time
-    (interpolate_pos_encoding; jax bicubic uses the Keys a=-0.5 kernel
-    vs torch's a=-0.75 — a documented sub-1e-3 deviation on the smooth
-    pos field, PARITY.md)."""
+    resized to the actual patch grid with an EXACT replica of torch's
+    non-antialiased bicubic (a=-0.75) including DINOv2's
+    interpolate_offset=0.1 scale-factor kludge
+    (vision_transformer.py:180-210) — static [out,in] matrices, two
+    einsums."""
     patch_size: int = 14
     embed_dim: int = 1024
     depth: int = 24
@@ -150,9 +201,14 @@ class DinoViT(nn.Module):
                          (1, 1 + ng * ng, D))
         pos_cls, pos_patch = pos[:, :1], pos[:, 1:]
         if (ph, pw) != (ng, ng):
-            pp = pos_patch.reshape(1, ng, ng, D).astype(jnp.float32)
-            pp = jax.image.resize(pp, (1, ph, pw, D), method="bicubic",
-                                  antialias=True)
+            # exact torch bicubic with the DINOv2 offset kludge; the
+            # matrices are static (numpy) so this is two small einsums
+            wr = jnp.asarray(torch_bicubic_matrix(
+                ng, ph, scale_factor=(ph + 0.1) / ng))
+            wc = jnp.asarray(torch_bicubic_matrix(
+                ng, pw, scale_factor=(pw + 0.1) / ng))
+            pp = pos_patch.reshape(ng, ng, D).astype(jnp.float32)
+            pp = jnp.einsum('ri,cj,ijd->rcd', wr, wc, pp)
             pos_patch = pp.reshape(1, ph * pw, D)
         # cat(cls, patches) + pos, then registers inserted after cls
         # WITHOUT positional embedding (prepare_tokens_with_masks,
@@ -165,9 +221,10 @@ class DinoViT(nn.Module):
              jnp.broadcast_to(reg, (B, self.num_register_tokens, D))
              .astype(x.dtype), x[:, 1:]], 1)
         for i in range(self.depth):
-            # DINOv2 blocks: LayerScale init 1.0, no QK-norm, no RoPE
+            # DINOv2 blocks: LayerScale init 1.0, no QK-norm, no RoPE,
+            # LayerNorm eps 1e-6 (vision_transformer.py:94)
             x = Block(D, self.num_heads, init_values=1.0, qk_norm=False,
-                      dtype=self.dtype, name=f"block{i}")(x)
+                      eps=1e-6, dtype=self.dtype, name=f"block{i}")(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         return x[:, 1 + self.num_register_tokens:]
 
@@ -243,16 +300,15 @@ class Aggregator(nn.Module):
                             axis=2)
         T = x.shape[2]
 
-        ys = jnp.repeat(jnp.arange(ph, dtype=jnp.float32), pw)
-        xs = jnp.tile(jnp.arange(pw, dtype=jnp.float32), ph)
-        pos = jnp.stack([ys, xs], -1)
+        # patch positions start at 1 — the reference offsets them so the
+        # special tokens sit alone at position 0 (aggregator.py:224-227)
+        ys = jnp.repeat(jnp.arange(ph, dtype=jnp.float32), pw) + 1.0
+        xs = jnp.tile(jnp.arange(pw, dtype=jnp.float32), ph) + 1.0
+        pos = jnp.concatenate(
+            [jnp.zeros((patch_start, 2), jnp.float32),
+             jnp.stack([ys, xs], -1)], axis=0)       # [T, 2]
         hd = self.embed_dim // self.num_heads
-        cos_p, sin_p = rope_2d_freqs(hd, pos, self.rope_base)
-        # special tokens rotate by identity (cos=1, sin=0)
-        ones = jnp.ones((patch_start, hd))
-        zeros = jnp.zeros((patch_start, hd))
-        rope = (jnp.concatenate([ones, cos_p], 0),
-                jnp.concatenate([zeros, sin_p], 0))
+        rope = rope_2d_freqs(hd, pos, self.rope_base)
 
         frame_out = x
         global_out = x
