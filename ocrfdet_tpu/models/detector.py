@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from ..config import OcRFDetConfig
 from ..geometry.transforms import camera_mlp_input
+from ..parallel.collectives import all_gather_invariant
 from .centerhead import CenterHead
 from .depthnet import stereo_cost_volume
 from .fpn import CustomFPN, FPN_LSS
@@ -124,8 +125,10 @@ class OcRFDet(nn.Module):
             stem = self.backbone(x, train=train, stem_only=True)
             stem = stem.reshape(B, N, *stem.shape[1:])
             if shard and gather:
-                stem = jax.lax.all_gather(
-                    stem, "space", axis=1, tiled=True)
+                # invariant gather: everything downstream feeds losses
+                # (see parallel/collectives.py — a varying-typed loss
+                # double-counts its gradient per space shard)
+                stem = all_gather_invariant(stem, "space", axis=1)
             return None, stem
         feats = self.backbone(x, train=train)
         stem = feats[0]
@@ -133,8 +136,8 @@ class OcRFDet(nn.Module):
         fpn = fpn.reshape(B, N, *fpn.shape[1:])
         stem = stem.reshape(B, N, *stem.shape[1:])
         if shard and gather:
-            fpn = jax.lax.all_gather(fpn, "space", axis=1, tiled=True)
-            stem = jax.lax.all_gather(stem, "space", axis=1, tiled=True)
+            fpn = all_gather_invariant(fpn, "space", axis=1)
+            stem = all_gather_invariant(stem, "space", axis=1)
         return fpn, stem
 
     def bev_encoder(self, bev, train: bool):
@@ -238,13 +241,14 @@ class OcRFDet(nn.Module):
                 key_aux = aux
                 if deep:
                     # per-camera maps back to the full camera set for
-                    # the loss layer / distillation heads
+                    # the loss layer / distillation heads — INVARIANT
+                    # gathers, because the depth/semantic/KD losses
+                    # differentiate through these tensors
                     for k in ("depth", "semantic"):
                         if key_aux.get(k) is not None:
-                            key_aux[k] = jax.lax.all_gather(
-                                key_aux[k], "space", axis=1, tiled=True)
-                    fpn = jax.lax.all_gather(fpn, "space", axis=1,
-                                             tiled=True)
+                            key_aux[k] = all_gather_invariant(
+                                key_aux[k], "space", axis=1)
+                    fpn = all_gather_invariant(fpn, "space", axis=1)
                 # stashed for subclass heads (GeoEnhDet distillation)
                 key_aux["fpn_key"] = fpn
             else:

@@ -35,7 +35,8 @@ import numpy as np
 from ...config import GridConfig, ViewTransformerConfig
 from ...geometry import frustum as FR
 from ...geometry.cameras import splat_camera
-from ...ops.grid_sample import bilinear_sample_block
+from ...ops.ht_pool import ht_pool_mm, ht_pool_ref
+from ...ops.point_sample import point_sample_mm, point_sample_ref
 from ...ops.splat import (preprocess_gaussians, quat_scale_to_cov3d,
                           render_gaussians_dense, render_gaussians_tiled)
 from ..fpn import resize_bilinear
@@ -127,19 +128,22 @@ class OcRFViewTransformer(nn.Module):
     def ht_pool(self, depth, context, cams: CameraParams,
                 psum_axis=None):
         """Height-trick branch: project 13 points per BEV pillar into
-        all cameras, gather depth-weighted context at the nearest
+        all cameras, pool depth-weighted context at the nearest
         feature pixel/bin, sum over (camera, height).
 
         depth [B,N,h,w,D]; context [B,N,h,w,C].
         Returns (ht_feat [B,Y,X,C], uvd [B,N,Z,Nq,3], valid).
         With cameras sharded over `psum_axis` the camera sum is
         restored over ICI; uvd/valid stay LOCAL to the shard.
+
+        Two implementations (cfg.ht_impl): the Pallas MXU one-hot
+        matmul kernel (TPU default — zero gather descriptors) and the
+        round-3 per-camera batched gather (off-TPU mirror); see
+        ops/ht_pool.py.
         """
         cfg = self.cfg
-        B, N, h, w, D = depth.shape
+        B = depth.shape[0]
         C = context.shape[-1]
-        Zh = cfg.num_height
-        Nq = cfg.bev_h * cfg.bev_w
         l2i, aug = FR.ego_to_image(
             cams.rots, cams.trans, cams.intrins, cams.post_rots,
             cams.post_trans, cams.bda)
@@ -147,31 +151,13 @@ class OcRFViewTransformer(nn.Module):
             self.ref_points, self.grid.pc_range,
             (self.grid.depth[0], self.grid.depth[1]), l2i, aug,
             self.input_size)
-        # nearest feature pixel / depth bin (reference round + clamp,
-        # fast_sample_prepare :785-852)
-        ui = jnp.clip(jnp.round(uvd[..., 0] * w).astype(jnp.int32), 0, w - 1)
-        vi = jnp.clip(jnp.round(uvd[..., 1] * h).astype(jnp.int32), 0, h - 1)
-        di = jnp.clip(jnp.round(uvd[..., 2] * D).astype(jnp.int32), 0, D - 1)
-
-        ctx_flat = context.reshape(B, N, h * w, C)
-        dep_flat = depth.reshape(B, N, h * w, D)
-
-        # One big gather per camera (unrolled python loop): a scan over
-        # (camera, height) serialises 78 small gathers on TPU; per-
-        # camera batches of Z*Nq points keep the transient at
-        # [B, Z*Nq, C] (~70 MB) while letting XLA vectorise.
-        acc = jnp.zeros((B, Nq, C), dtype=context.dtype)
-        for n in range(N):
-            pix = (vi[:, n] * w + ui[:, n]).reshape(B, Zh * Nq)
-            dflat = (pix * D + di[:, n].reshape(B, Zh * Nq))
-            wgt = jnp.take_along_axis(
-                dep_flat[:, n].reshape(B, h * w * D), dflat, axis=1)
-            feat = jnp.take_along_axis(
-                ctx_flat[:, n], pix[..., None], axis=1)  # [B,ZNq,C]
-            wgt = wgt * valid[:, n].reshape(B, Zh * Nq).astype(wgt.dtype)
-            contrib = (feat * wgt[..., None].astype(feat.dtype)) \
-                .reshape(B, Zh, Nq, C)
-            acc = acc + jnp.sum(contrib, axis=1)
+        impl = cfg.ht_impl
+        if impl == "auto":
+            impl = "mm" if jax.default_backend() == "tpu" else "gather"
+        if impl == "mm":
+            acc = ht_pool_mm(depth, context, uvd, valid)
+        else:
+            acc = ht_pool_ref(depth, context, uvd, valid)
         if psum_axis is not None:
             acc = jax.lax.psum(acc, psum_axis)
         ht = acc.reshape(B, cfg.bev_h, cfg.bev_w, C)
@@ -186,17 +172,23 @@ class OcRFViewTransformer(nn.Module):
         Returns [B, Z, Nq, C] masked mean over cameras; with cameras
         sharded over `psum_axis` the numerator and visibility count
         are both psum'd so the mean spans every camera.
+
+        On TPU the bilinear sampling runs as the separable tent-weight
+        MXU kernel (ops/point_sample.py — the backward would otherwise
+        be a 2.6M-row scatter); off-TPU the packed-gather mirror.
         """
-        H, W = images.shape[2], images.shape[3]
-        px = uvd[..., 0] * W
-        py = uvd[..., 1] * H
-
-        def one_cam(img, x, y):
-            # block-packed sampling: one gather descriptor per voxel
-            # point instead of four (see ops/grid_sample.py)
-            return bilinear_sample_block(img, x, y)
-
-        vals = jax.vmap(jax.vmap(one_cam))(images, px, py)  # [B,N,Z,Nq,C]
+        B, N, H, W, C = images.shape
+        Zh, Nq = uvd.shape[2], uvd.shape[3]
+        px = (uvd[..., 0] * W).reshape(B, N, Zh * Nq)
+        py = (uvd[..., 1] * H).reshape(B, N, Zh * Nq)
+        impl = self.cfg.sample_impl
+        if impl == "auto":
+            impl = "mm" if jax.default_backend() == "tpu" else "gather"
+        if impl == "mm":
+            vals = point_sample_mm(images, px, py)
+        else:
+            vals = point_sample_ref(images, px, py)
+        vals = vals.reshape(B, N, Zh, Nq, C)
         vmask = valid[..., None].astype(vals.dtype)
         s = jnp.sum(vals * vmask, axis=1)
         cnt = jnp.sum(vmask, axis=1)
@@ -329,11 +321,13 @@ class OcRFViewTransformer(nn.Module):
         if render_on:
             if space_axis is not None:
                 # the render camera is an arbitrary index into the FULL
-                # set: gather the small per-camera maps once over ICI
-                x_r = jax.lax.all_gather(x, space_axis, axis=1,
-                                         tiled=True)
-                alphas_r = jax.lax.all_gather(alphas, space_axis,
-                                              axis=1, tiled=True)
+                # set: gather the small per-camera maps once over ICI.
+                # invariant gathers — the render losses differentiate
+                # through these (parallel/collectives.py)
+                from ...parallel.collectives import all_gather_invariant
+                x_r = all_gather_invariant(x, space_axis, axis=1)
+                alphas_r = all_gather_invariant(alphas, space_axis,
+                                                axis=1)
                 cams_r = cams_full if cams_full is not None else cams
             else:
                 x_r, alphas_r, cams_r = x, alphas, cams

@@ -164,6 +164,137 @@ def test_deep_camera_sharding_ocrf_eval_matches():
     assert aux_sh["depth"].shape == aux_rep["depth"].shape
 
 
+def test_deep_camera_sharding_raw_gradients_match():
+    """Pin the GRADIENT scaling through the phase-2 psum paths
+    (advisor r3, medium): raw dL/dparams under shard_map with
+    space=2/shard_vt=True must equal the unsharded gradients on
+    identical params/batch — independent of any optimizer (Adam's
+    first step is ~scale-invariant, so the param-compare test alone
+    would miss a uniform 1/S mis-scaling through the pvary^T=psum
+    transposes of the splat/ht_pool/sample_at_voxels reductions).
+
+    This test caught a real bug in round 4: a loss computed from a
+    plain all_gather'd (varying-typed) tensor is S identical per-shard
+    copies, and grads wrt replicated params come out psum'd = S x true
+    — fixed by the invariant gathers of parallel/collectives.py
+    (render-path grads measured scale=2.000 before the fix, 1.00
+    after).
+
+    Metric: POOLED least-squares scale sum(a.b)/sum(a.a) and cosine
+    per top-level module, not elementwise equality — the forward
+    diverges ~1e-5 from f32 reduction order (backbone depth), and
+    train-mode BN renormalisation amplifies that to 1e-3..1e-2 through
+    the BEV stack, so elementwise grads are chaotic while a systematic
+    factor-of-S shift still moves the pooled scale straight to S.
+
+    train=True (render branch + all psum paths live) with no dropout
+    rng (ASPP dropout self-disables), stereo CV off (|curr-warp| of
+    near-identical features is pure catastrophic cancellation), and
+    every camera's image/pose duplicated from camera 0, so per-shard
+    BN batch statistics equal the full-camera statistics."""
+    import dataclasses
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from ocrfdet_tpu.config import ParallelConfig
+    from ocrfdet_tpu.train.trainstep import compute_losses, total_loss
+
+    base = dataclasses.replace(tiny_config(with_ocrf=True),
+                               compute_dtype="float32",
+                               use_stereo=False)
+    batch = make_batch(base, batch_size=2, seed=5)
+    # duplicate camera 0 across the camera axis of every per-camera
+    # array ([B, F, N, ...] frames tensors and [B, N, ...] key-frame
+    # tensors; axis found by matching num_cams at dim 1 or 2)
+    N = base.data.num_cams
+    for k, v in batch.items():
+        if not isinstance(v, np.ndarray) or v.ndim < 2:
+            continue
+        if v.ndim >= 3 and v.shape[2] == N and k != "gt_boxes":
+            batch[k] = np.repeat(v[:, :, :1], N, axis=2)
+        elif v.shape[1] == N and k not in ("kd_pair",):
+            batch[k] = np.repeat(v[:, :1], N, axis=1)
+    batch["render_cam"] = np.zeros_like(batch["render_cam"])
+    batch = _to_jnp(batch)
+
+    model_rep = OcRFDet(base)
+    variables = model_rep.init(jax.random.PRNGKey(0), batch, train=True)
+    params, bstats = variables["params"], variables["batch_stats"]
+
+    def pick_losses(losses, render_only):
+        sel = {k: v for k, v in losses.items()
+               if ("render" in k or "gs_" in k) == render_only}
+        assert sel, losses.keys()
+        return sum(jax.tree.leaves(sel), 0.0)
+
+    def loss_rep(p, render_only):
+        (preds, aux), _ = model_rep.apply(
+            {"params": p, "batch_stats": bstats}, batch, train=True,
+            mutable=["batch_stats"])
+        return pick_losses(compute_losses(base, preds, aux, batch),
+                           render_only)
+
+    cfg_sh = dataclasses.replace(
+        base, parallel=ParallelConfig(space_axis=2, shard_cameras=True,
+                                      shard_vt=True))
+    model_sh = OcRFDet(cfg_sh)
+    mesh = make_mesh(data=1, space=2, devices=jax.devices()[:2])
+
+    def local_grads(p, bs, b, render_only):
+        def loss_fn(pp):
+            (preds, aux), _ = model_sh.apply(
+                {"params": pp, "batch_stats": bs}, b, train=True,
+                mutable=["batch_stats"])
+            return pick_losses(compute_losses(cfg_sh, preds, aux, b),
+                               render_only)
+        g = jax.grad(loss_fn)(p)
+        # exactly the real step's normalisation (parallel/step.py
+        # _pmean_both restricted to this mesh's axes)
+        def pm(x):
+            vma = getattr(jax.typeof(x), "vma", frozenset())
+            missing = tuple(a for a in ("data", "space") if a not in vma)
+            if missing:
+                x = jax.lax.pvary(x, missing)
+            return jax.lax.pmean(x, ("data", "space"))
+        return jax.tree.map(pm, g)
+
+    def compare(render_only):
+        g_rep = jax.jit(jax.grad(
+            lambda p: loss_rep(p, render_only)))(params)
+        g_sh = jax.jit(shard_map(
+            lambda p, bs, b: local_grads(p, bs, b, render_only),
+            mesh=mesh, in_specs=(P(), P(), P()),
+            out_specs=P()))(params, bstats, batch)
+        flat_rep = jax.tree_util.tree_leaves_with_path(g_rep)
+        flat_sh = jax.tree.leaves(g_sh)
+        assert len(flat_rep) == len(flat_sh)
+        groups = {}
+        for (path, a), b in zip(flat_rep, flat_sh):
+            top = jax.tree_util.keystr(path).split("']")[0][2:]
+            a = np.asarray(a, np.float64).ravel()
+            b = np.asarray(b, np.float64).ravel()
+            ab, aa, bb = groups.setdefault(top, [0.0, 0.0, 0.0])
+            groups[top] = [ab + a @ b, aa + a @ a, bb + b @ b]
+        checked = 0
+        for top, (ab, aa, bb) in groups.items():
+            if aa < 1e-10:          # module untouched by this probe
+                continue
+            checked += 1
+            scale = ab / aa
+            cos = ab / np.sqrt(aa * bb)
+            assert 0.9 < scale < 1.1, \
+                (render_only, top, scale, cos)
+            assert cos > 0.95, (render_only, top, scale, cos)
+        assert checked > 0
+
+    # (a) camera-symmetric losses (depth/semantic/det/mask/opacity):
+    # pins the ht_pool / lss splat / sample_at_voxels psum transposes
+    # and the invariant depth/semantic aux gathers.
+    compare(render_only=False)
+    # (b) render losses: pins the all_gather'd x/alphas render path —
+    # where the S x double-count sat.
+    compare(render_only=True)
+
+
 def test_deep_camera_sharding_cuts_per_device_flops():
     """shard_vt must REDUCE the per-device program: the compiled train
     step's cost-analysis flops with the VT interior sharded are
