@@ -197,24 +197,33 @@ class DetectionEvaluator:
         set is merged so later merges stay deduplicated too."""
         off = self.n_samples
         dup = self._seen_tokens & other._seen_tokens
-        # map the other shard's integer sids into fresh ids; which
-        # sids belong to duplicate tokens is tracked by the other
+        # which sids belong to duplicate tokens is tracked by the other
         # evaluator at add time
         skip = {sid for tok, sid in other._token_sids.items()
                 if tok in dup} if dup else set()
+        # COMPACT remap of the other shard's kept sids: n_samples must
+        # stay equal to the number of scored samples AND stay above
+        # every assigned sid, or a later merge's offset would collide
+        # with ids handed out here
+        remap = {}
+        kept = 0
+        for sid in range(other.n_samples):
+            if sid not in skip:
+                remap[sid] = off + kept
+                kept += 1
         for cls, lst in other.preds.items():
             self.preds[cls].extend(
-                (s, sid + off, b, a) for (s, sid, b, a) in lst
+                (s, remap[sid], b, a) for (s, sid, b, a) in lst
                 if sid not in skip)
         for cls, per_sample in other.gts.items():
             for sid, lst in per_sample.items():
                 if sid not in skip:
-                    self.gts[cls][sid + off].extend(lst)
+                    self.gts[cls][remap[sid]].extend(lst)
         self._seen_tokens |= other._seen_tokens
         for tok, sid in other._token_sids.items():
-            if tok not in self._token_sids:
-                self._token_sids[tok] = sid + off
-        self.n_samples += other.n_samples
+            if tok not in self._token_sids and sid not in skip:
+                self._token_sids[tok] = remap[sid]
+        self.n_samples += kept
 
     # ------------------------------------------------ devkit accumulate
     def accumulate(self, cls: int, dist_th: float) -> Optional[_MetricData]:

@@ -196,8 +196,6 @@ def prepare_sample(cfg: OcRFDetConfig, all_infos: List[dict], index: int,
     gt_semantic = np.zeros((N, H, W), np.float32)
 
     key_front = info["cams"]["CAM_FRONT"]
-    imgs_wo_aug = (np.zeros((N, H, W, 3), np.float32)
-                   if cfg.vggt_teacher is not None else None)
     augs = []
     for n, cam in enumerate(cams):
         cd = info["cams"][cam]
@@ -211,15 +209,6 @@ def prepare_sample(cfg: OcRFDetConfig, all_infos: List[dict], index: int,
                 im.draft("RGB", aug.resize_dims)
             im = im.convert("RGB")
             img_aug = transform_image(im, aug)
-            if imgs_wo_aug is not None:
-                # the frozen VGGT teacher sees the SAME sampled resize
-                # + crop but neither flip nor rotation
-                # (loading.py:1071-1101 builds imgs_wo_aug from the
-                # train-time img_augs before the flip branch)
-                arr_wo = np.asarray(
-                    im.resize(aug.resize_dims).crop(aug.crop),
-                    dtype=np.float32)
-                imgs_wo_aug[n] = (arr_wo - IMG_MEAN) / IMG_STD
         arr = np.asarray(img_aug, dtype=np.float32)
         imgs_wo_norm[n] = arr
         imgs[0, n] = (arr - IMG_MEAN) / IMG_STD
@@ -322,14 +311,14 @@ def prepare_sample(cfg: OcRFDetConfig, all_infos: List[dict], index: int,
     batch["sample_token"] = info["token"]
 
     # GeoEnhDet distillation inputs (reference ocrfdet_vggt.py):
-    #   imgs_wo_aug — key-frame images through the SAME sampled
-    #     resize + crop as the train tensor but without flip/rotate,
-    #     normalized (loading.py:1071-1101; built in the camera loop
-    #     above so the open image is reused);
     #   kd_pair — random adjacent camera pair, rig neighbour with the
     #     back-camera swap (get_pair_indices, ocrfdet_vggt.py:166-173).
+    #   (The reference also plumbs an un-augmented image tensor
+    #   `imgs_wo_aug` through its input list, but the teacher actually
+    #   consumes the AUGMENTED key tensor — resize_img(img.detach()),
+    #   ocrfdet_vggt.py:244 — so that ~13 MB/sample tensor is not
+    #   built here; models/geoenh.py reads batch['imgs'][:, 0].)
     if cfg.vggt_teacher is not None:
-        batch["imgs_wo_aug"] = imgs_wo_aug
         i1 = int(rng.integers(0, N)) if is_train else 0
         i2 = (i1 + 1) % N
         if N == 6 and i2 in (3, 5):

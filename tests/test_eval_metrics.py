@@ -135,6 +135,50 @@ def test_tp_error_is_one_below_min_recall():
     assert m["mASE"] == 1.0
 
 
+def test_token_dedup_across_processes_and_merges():
+    """Padded ragged-tail duplicates (data/dataset.py Loader.epoch) are
+    scored exactly once through add_sample, a cross-process merge and a
+    second-level merge; n_samples counts SCORED samples only and later
+    merge offsets never collide with already-assigned sample ids
+    (advisor r3 finding)."""
+    def sample(tok, x):
+        gt = np.stack([_box(x, 0)])
+        return dict(pred_boxes=gt.copy(), scores=np.array([0.9]),
+                    labels=np.array([0]), gt_boxes=gt,
+                    gt_labels=np.array([0]), token=tok)
+
+    # process 0 scores t0, t1; process 1 scores t2 and the padded
+    # duplicates t1 (cross-process dup) and t2 (in-process dup)
+    ev0 = DetectionEvaluator(CLASS_NAMES)
+    ev0.add_sample(**sample("t0", 5))
+    ev0.add_sample(**sample("t1", 10))
+    ev1 = DetectionEvaluator(CLASS_NAMES)
+    ev1.add_sample(**sample("t2", 15))
+    ev1.add_sample(**sample("t2", 15))       # in-process duplicate
+    ev1.add_sample(**sample("t1", 10))       # duplicate of ev0's t1
+    assert ev1.n_samples == 2                # t2 + the foreign t1
+
+    ev0.merge(ev1)                           # t1 dropped here
+    assert ev0.n_samples == 3
+    assert len(ev0._seen_tokens) == 3
+    n_preds = sum(len(v) for v in ev0.preds.values())
+    n_gts = sum(len(lst) for per in ev0.gts.values()
+                for lst in per.values())
+    assert n_preds == n_gts == 3
+
+    # second-level merge (tree gather): a third shard re-sends t0 and
+    # adds t3; ids must not collide with those assigned above
+    ev2 = DetectionEvaluator(CLASS_NAMES)
+    ev2.add_sample(**sample("t0", 5))
+    ev2.add_sample(**sample("t3", 20))
+    ev0.merge(ev2)
+    assert ev0.n_samples == 4
+    sids = {sid for lst in ev0.preds.values() for (_, sid, _, _) in lst}
+    assert len(sids) == 4                    # all distinct
+    m = ev0.evaluate()
+    assert m["mAP"] > 0.95                   # every token scored once
+
+
 def test_class_range_filter():
     """Devkit class_range: car beyond 50m is dropped from GT and preds."""
     ev = DetectionEvaluator(CLASS_NAMES)
