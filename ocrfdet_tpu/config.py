@@ -138,6 +138,13 @@ class ViewTransformerConfig:
     # (tiled, XLA scan composite) or 'pallas' (tiled, fused Pallas
     # composite kernel — the TPU fast path)
     renderer: str = "pallas"
+    # HT-branch pooling: 'mm' (Pallas MXU one-hot matmul,
+    # ops/ht_pool.py), 'gather' (take_along_axis formulation), or
+    # 'auto' (mm on TPU)
+    ht_impl: str = "auto"
+    # voxel-point sampling of full-res alpha/RGB maps: 'mm' (Pallas
+    # separable tent matmul, ops/point_sample.py), 'gather', 'auto'
+    sample_impl: str = "auto"
     render_image_size: Tuple[int, int] = (256, 704)
     znear: float = 0.01
     zfar: float = 999.9
