@@ -117,6 +117,7 @@ class DepthNetConfig:
     # disables windowing (exact for any geometry, ~3.7x the matmul
     # FLOPs at flagship shapes)
     cv_win: int = 48
+    cv_win_h: int = 32
 
 
 @dataclass(frozen=True)

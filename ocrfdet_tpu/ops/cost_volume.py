@@ -178,8 +178,8 @@ DCH = 8   # depth planes per grid step (out block sublane alignment)
 
 
 def _mm_kernel(dep_ref, cam_ref, prev_ref, coef_ref, curr_ref, out_ref,
-               *, win_w: int, H: int, W: int, C: int, bias: float,
-               inv_ch: int):
+               *, win_w: int, win_h: int, H: int, W: int, C: int,
+               bias: float, inv_ch: int):
     b = pl.program_id(0)
     dc = pl.program_id(2)
     bz = cam_ref[b, 0]
@@ -201,34 +201,48 @@ def _mm_kernel(dep_ref, cam_ref, prev_ref, coef_ref, curr_ref, out_ref,
         px = jnp.where(front, (dv * a2x + b2x) / safe, -2.0 * W)
         py = jnp.where(front, (dv * a2y + b2y) / safe, -2.0 * H)
 
+        def window(p, n, win_n, align):
+            """Per-plane window start along one axis + all-or-nothing
+            clamp: a sample whose in-image support is not entirely
+            inside the window is parked outside so BOTH taps zero ->
+            invalid(+bias); never a partial half-tap warp. Taps outside
+            the IMAGE may stay outside the window (exactly the
+            zero-padding semantics of the gather path). `align` rounds
+            the start DOWN (Mosaic requires sublane-dim dynamic slices
+            8-aligned), costing up to align-1 rows of guaranteed
+            coverage."""
+            pin = jnp.where((p > -1.0) & (p < n), p, jnp.inf)
+            s0f = jnp.min(pin)
+            s0i = jnp.where(jnp.isfinite(s0f), jnp.floor(s0f), 0.0)
+            s0 = jnp.clip(s0i.astype(jnp.int32), 0, n - win_n)
+            if align > 1:
+                # floor-align LAST (a later clip would erase the
+                # Mosaic multiple_of hint that makes the sublane-dim
+                # dynamic slice provably aligned)
+                s0 = pl.multiple_of((s0 // align) * align, align)
+            f = jnp.floor(p)
+            sf = s0.astype(jnp.float32)
+            ovf = (((f < sf) & (f >= 0.0))
+                   | ((f + 1.0 > sf + (win_n - 1)) & (f + 1.0 <= n - 1)))
+            return s0, jnp.where(ovf, -2.0 * n, p)
+
         if win_w < W:
-            # window start: leftmost column any in-view sample of the
-            # tile touches (floor of smallest in-view x), clamped
-            pin = jnp.where((px > -1.0) & (px < W), px, jnp.inf)
-            x0f = jnp.min(pin)
-            x0i = jnp.where(jnp.isfinite(x0f), jnp.floor(x0f), 0.0)
-            x0 = jnp.clip(x0i.astype(jnp.int32), 0, W - win_w)
-            # all-or-nothing clamp: a sample whose in-image support is
-            # not entirely inside the window is parked outside so BOTH
-            # taps zero -> invalid(+bias); never a partial half-tap
-            # warp. Taps outside the IMAGE may stay outside the window
-            # (exactly the zero-padding semantics of the gather path).
-            f = jnp.floor(px)
-            xf = x0.astype(jnp.float32)
-            ovf = (((f < xf) & (f >= 0.0))
-                   | ((f + 1.0 > xf + (win_w - 1)) & (f + 1.0 <= W - 1)))
-            px = jnp.where(ovf, -2.0 * W, px)
+            x0, px = window(px, W, win_w, 1)
         else:
             x0 = 0
-        win = prev_ref[0, pl.ds(x0, win_w), :, :]   # [win_w, H, C] bf16
-        win2 = win.reshape(win_w * H, C)
+        if win_h < H:
+            y0, py = window(py, H, win_h, 8)
+        else:
+            y0 = 0
+        win = prev_ref[0, pl.ds(x0, win_w), pl.ds(y0, win_h), :]
+        win2 = win.reshape(win_w * win_h, C)        # [win_w*win_h, C]
 
-        S = win_w * H
+        S = win_w * win_h
         k = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
-        xk = ((k // H) + x0).astype(jnp.float32)    # absolute column
-        yk = (k % H).astype(jnp.float32)
+        xk = ((k // win_h) + x0).astype(jnp.float32)  # absolute column
+        yk = ((k % win_h) + y0).astype(jnp.float32)   # absolute row
         # separable bilinear "tent": exactly the 4-tap zero-padding
-        # weights (columns outside the image are never in the window).
+        # weights (pixels outside the image are never in the window).
         # NOTE: a repeat/tile-expanded two-factor build measured ~9%
         # faster but pltpu.repeat's lane semantics differ from
         # np.repeat on hardware (wrong results; interpret mode hides
@@ -267,18 +281,22 @@ def _untile_pixels(x, H, W, th, tw):
 
 
 def cost_volume_mm(curr_feat, prev_feat, depths, az, bz, a2, b2,
-                   bias: float, win_w: int = 48,
+                   bias: float, win_w: int = 48, win_h: int = 32,
                    tile: Tuple[int, int] = (16, 16),
                    interpret: bool | None = None):
     """MXU windowed one-hot matmul warp. Same contract as
     cost_volume_scan (raw cost [B,N,D,H,W] f32); see module docstring
-    for the window-clamp semantics. `depths` must be concrete."""
+    for the window-clamp semantics (the window is 2-D since round 4:
+    one fixed depth plane maps a 16x16 tile to a compact region in BOTH
+    axes, so rows outside a win_h-tall band are as wasted as columns).
+    `depths` must be concrete."""
     B, N, Hc, Wc, C = curr_feat.shape
     depths = np.asarray(depths, np.float32)
     D = depths.shape[0]
     BN = B * N
     th, tw = tile
     win_w = min(win_w, Wc)
+    win_h = min(win_h, Hc)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -305,10 +323,10 @@ def cost_volume_mm(curr_feat, prev_feat, depths, az, bz, a2, b2,
     Dp = -(-D // DCH) * DCH
     depths_p = np.pad(depths, (0, Dp - D), constant_values=-1e9)
 
-    S = win_w * Hc
+    S = win_w * win_h
     kernel = functools.partial(
-        _mm_kernel, win_w=win_w, H=Hc, W=Wc, C=C, bias=float(bias),
-        inv_ch=_invalid_channel(C))
+        _mm_kernel, win_w=win_w, win_h=win_h, H=Hc, W=Wc, C=C,
+        bias=float(bias), inv_ch=_invalid_channel(C))
     out = pl.pallas_call(
         kernel,
         grid=(BN, nT, Dp // DCH),
@@ -351,7 +369,7 @@ def cost_volume_mm(curr_feat, prev_feat, depths, az, bz, a2, b2,
 def stereo_cost_volume(curr_feat, prev_feat, cv_frustum, k2s_sensor,
                        intrins, post_rots, post_trans, input_size,
                        bias: float, impl: str = "auto",
-                       win_w: int = 48):
+                       win_w: int = 48, win_h: int = 32):
     """Plane-sweep cost volume against the previous frame.
 
     Args:
@@ -388,7 +406,8 @@ def stereo_cost_volume(curr_feat, prev_feat, cv_frustum, k2s_sensor,
         impl = "scan"
     if impl == "mm":
         cost = cost_volume_mm(curr_feat, prev_feat, np.asarray(depths),
-                              az, bz, a2, b2, bias, win_w=win_w)
+                              az, bz, a2, b2, bias, win_w=win_w,
+                              win_h=win_h)
     else:
         cost = cost_volume_scan(curr_feat, prev_feat, depths, az, bz,
                                 a2, b2, bias)
