@@ -267,6 +267,15 @@ class ParallelConfig:
     # alphas for the render branch) are all-gathered. Removes the bulk
     # of the replicated post-encoder work SURVEY §2.7 flags.
     shard_vt: bool = True
+    # phase-3 spatial sharding: after the view transformer, split the
+    # BEV grid into per-device ROW blocks through pre-process, the BEV
+    # encoder and the CenterHead (1-row halo ppermutes before each 3x3
+    # conv, BN stats psum'd over `space` — exact; parallel/halo.py),
+    # and split the splat render into image row bands. Predictions are
+    # invariant-gathered before the loss layer. Requires bev_h and the
+    # render height % (space * tile) == 0.
+    shard_bev: bool = True
+    shard_render: bool = True
 
 
 @dataclass(frozen=True)

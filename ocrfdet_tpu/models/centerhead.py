@@ -31,18 +31,24 @@ class SeparateHead(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, halo=None):
         out = {}
         k = self.final_kernel
         for name, ch in self.heads:
             y = x
             for i in range(self.num_convs - 1):
                 y = ConvBN(self.head_conv, k, dtype=self.dtype,
-                           name=f"{name}_conv{i}")(y, train)
+                           name=f"{name}_conv{i}")(y, train, halo)
             bias_init = (nn.initializers.constant(self.init_bias)
                          if name == "heatmap"
                          else nn.initializers.zeros_init())
-            y = nn.Conv(ch, (k, k), padding=k // 2, use_bias=True,
+            if halo is not None and k > 1:
+                from ..parallel.halo import halo_exchange_rows
+                y = halo_exchange_rows(y, halo, k // 2, k // 2)
+                pad = [(0, 0), (k // 2, k // 2)]
+            else:
+                pad = k // 2
+            y = nn.Conv(ch, (k, k), padding=pad, use_bias=True,
                         bias_init=bias_init, dtype=self.dtype,
                         name=f"{name}_out")(y)
             out[name] = y
@@ -54,11 +60,13 @@ class CenterHead(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False) -> List[Dict[str, jnp.ndarray]]:
+    def __call__(self, x, train: bool = False,
+                 halo=None) -> List[Dict[str, jnp.ndarray]]:
         """x: [B, H, W, C] BEV feature. Returns one dict per task with
-        channel-last maps; heatmap is raw logits."""
+        channel-last maps; heatmap is raw logits. With `halo` x is this
+        shard's BEV row block (parallel/halo.py)."""
         x = ConvBN(self.cfg.share_conv_channel, 3, dtype=self.dtype,
-                   name="shared_conv")(x, train)
+                   name="shared_conv")(x, train, halo)
         outs = []
         for t, task in enumerate(self.cfg.tasks):
             heads = self.cfg.common_heads + (
@@ -70,5 +78,5 @@ class CenterHead(nn.Module):
                 init_bias=self.cfg.init_bias,
                 num_convs=self.cfg.num_head_convs,
                 dtype=self.dtype,
-                name=f"task{t}")(x, train))
+                name=f"task{t}")(x, train, halo))
         return outs

@@ -95,6 +95,26 @@ class OcRFDet(nn.Module):
             return False, 1
         return True, self.cfg.parallel.space_axis
 
+    def _bev_halo(self):
+        """Phase-3 BEV row-block sharding spec ('space', S) or None.
+        Independent of camera sharding — the BEV stack can shard rows
+        even when the VT ran replicated."""
+        cfg = self.cfg
+        if not (cfg.parallel.shard_bev and cfg.parallel.space_axis > 1):
+            return None
+        try:
+            jax.lax.axis_index("space")
+        except NameError:
+            return None
+        S = cfg.parallel.space_axis
+        # stride-2 halo exactness needs even row offsets at each of the
+        # three stride-2 BEV encoder stages (parallel/halo.py), i.e.
+        # block size divisible by 2^3; fall back to replicated rows if
+        # the grid doesn't divide cleanly.
+        if cfg.vt.bev_h % S or (cfg.vt.bev_h // S) % 8:
+            return None
+        return ("space", S)
+
     def _slice_cams(self, t, N: int, axis: int = 1):
         """Take this space member's camera block along `axis`."""
         S = self.cfg.parallel.space_axis
@@ -140,9 +160,9 @@ class OcRFDet(nn.Module):
             stem = all_gather_invariant(stem, "space", axis=1)
         return fpn, stem
 
-    def bev_encoder(self, bev, train: bool):
-        feats = self.bev_backbone(bev, train=train)
-        return self.bev_neck(feats[0], feats[2], train=train)
+    def bev_encoder(self, bev, train: bool, halo=None):
+        feats = self.bev_backbone(bev, train=train, halo=halo)
+        return self.bev_neck(feats[0], feats[2], train=train, halo=halo)
 
     def _frame_cams(self, batch, f) -> CameraParams:
         return CameraParams(
@@ -230,14 +250,25 @@ class OcRFDet(nn.Module):
                                    cost_volume=cv, is_key=is_key,
                                    train=train,
                                    space_axis="space" if deep else None,
-                                   cams_full=cams_full)
+                                   cams_full=cams_full,
+                                   render_band=(
+                                       ("space", S)
+                                       if deep and cfg.parallel.shard_render
+                                       else None))
             else:
                 depth, semantic, context = self.vt(
                     fpn, cams, mlp_input, cost_volume=cv, train=train)
                 bev = self.vt.splat(depth, context, cams,
                                     psum_axis="space" if deep else None)
                 aux = dict(depth=depth, semantic=semantic)
-            bev = self.pre_process_net(bev, train=train)[0]
+            # phase-3: the VT output is full-grid on every space
+            # member; from here the BEV stack runs on per-member row
+            # blocks (parallel/halo.py)
+            halo = self._bev_halo()
+            if halo is not None:
+                from ..parallel.halo import slice_rows
+                bev = slice_rows(bev, halo)
+            bev = self.pre_process_net(bev, train=train, halo=halo)[0]
             if is_key:
                 key_aux = aux
                 if deep:
@@ -259,8 +290,19 @@ class OcRFDet(nn.Module):
             stem_prev = jax.lax.stop_gradient(stem)
 
         # channel concat, oldest..key ordering as in the reference
-        # (BEVStereo4D appends fid descending; concat order matches)
+        # (BEVStereo4D appends fid descending, bevdet.py:668-693;
+        # concat order matches). Sown so tests can pin the temporal
+        # slot layout against prepare_inputs semantics.
         bev_cat = jnp.concatenate(bev_feats, axis=-1)
-        x = self.bev_encoder(bev_cat, train=train)
-        preds = self.head(x, train=train)
+        self.sow("intermediates", "bev_cat", bev_cat)
+        halo = self._bev_halo()
+        x = self.bev_encoder(bev_cat, train=train, halo=halo)
+        preds = self.head(x, train=train, halo=halo)
+        if halo is not None:
+            # row blocks back to full maps for the loss/decode layer —
+            # INVARIANT gathers: every CenterHead loss differentiates
+            # through these (parallel/collectives.py)
+            preds = [
+                {k: all_gather_invariant(v, halo[0], axis=1)
+                 for k, v in task.items()} for task in preds]
         return preds, key_aux

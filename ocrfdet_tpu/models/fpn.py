@@ -79,28 +79,43 @@ class FPN_LSS(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x_shallow, x_deep, train: bool = False):
+    def __call__(self, x_shallow, x_deep, train: bool = False, halo=None):
+        """With `halo` (phase-3 row sharding, parallel/halo.py) both
+        inputs are this shard's row blocks: the align-corners
+        upsamples become column-resize + blocked row-resize (bilinear
+        is separable) and the 3x3 convs exchange 1-row halos."""
         cf = 2 if self.extra_upsample else 1
-        up = resize_bilinear(x_deep, x_shallow.shape[1:3], align_corners=True)
+
+        def conv_bn(x, ch, name_c, name_b, kernel=3):
+            if halo is not None and kernel > 1:
+                from ..parallel.halo import halo_exchange_rows
+                x = halo_exchange_rows(x, halo, 1, 1)
+                pad = [(0, 0), (1, 1)]
+            else:
+                pad = kernel // 2
+            x = nn.Conv(ch, (kernel, kernel), padding=pad, use_bias=False,
+                        dtype=self.dtype, name=name_c)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype, name=name_b,
+                             axis_name=halo[0] if halo else None)(x)
+            return nn.relu(x)
+
+        def up_rows(x, out_hw_local):
+            if halo is None:
+                return resize_bilinear(x, out_hw_local, align_corners=True)
+            from ..parallel.halo import resize_cols, resize_rows_blocked
+            x = resize_cols(x, out_hw_local[1])
+            return resize_rows_blocked(x, out_hw_local[0] * halo[1], halo)
+
+        up = up_rows(x_deep, x_shallow.shape[1:3])
         x = jnp.concatenate([x_shallow, up], axis=-1)
         for k in range(2):
-            x = nn.Conv(self.out_channels * cf, (3, 3), padding=1,
-                        use_bias=False, dtype=self.dtype,
-                        name=f"conv{k}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=self.dtype,
-                             name=f"bn{k}")(x)
-            x = nn.relu(x)
+            x = conv_bn(x, self.out_channels * cf, f"conv{k}", f"bn{k}")
         if self.extra_upsample:
             oh = x.shape[1] * self.extra_upsample
             ow = x.shape[2] * self.extra_upsample
-            x = resize_bilinear(x, (oh, ow), align_corners=True)
-            x = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False,
-                        dtype=self.dtype, name="up_conv")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=self.dtype,
-                             name="up_bn")(x)
-            x = nn.relu(x)
+            x = up_rows(x, (oh, ow))
+            x = conv_bn(x, self.out_channels, "up_conv", "up_bn")
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                         name="out_conv")(x)
         return x

@@ -211,7 +211,8 @@ class OcRFViewTransformer(nn.Module):
     def __call__(self, x, cams: CameraParams, mlp_input, batch,
                  cost_volume=None, is_key: bool = False,
                  train: bool = False, space_axis=None,
-                 cams_full: Optional[CameraParams] = None):
+                 cams_full: Optional[CameraParams] = None,
+                 render_band=None):
         """With `space_axis` the camera axis of x/cams/mlp_input/
         cost_volume is this space member's LOCAL block: every
         cross-camera reduction (LSS pool, HT pool, voxel alpha/rgb
@@ -333,17 +334,26 @@ class OcRFViewTransformer(nn.Module):
                 x_r, alphas_r, cams_r = x, alphas, cams
             aux.update(self.render_branch(
                 x_r, cams_r, batch, voxel_feat, opacity, vox_rgb,
-                alphas_r))
+                alphas_r, band=render_band))
         return geom_feat, aux
 
     # ------------------------------------------------------------------
     def render_branch(self, x, cams: CameraParams, batch, voxel_feat,
-                      opacity, vox_rgb, alphas):
+                      opacity, vox_rgb, alphas, band=None):
         """Training-only rendering of one random camera per sample.
 
         vox_rgb [B, Z, Nq, 3]: voxel colours from the unnormalised
         images, sampled jointly with the alpha back-projection in
         __call__ (shared gathers).
+
+        With `band` = ('space', S) (phase-3, ParallelConfig.
+        shard_render) each space member rasterises only its image ROW
+        BAND: tile compositing is per-tile independent, so shifting
+        the projected 2D means by the band offset and rendering an
+        H/S-row image reproduces exactly those rows of the full
+        render (the Grendel-GS workload split, gaussian_renderer/
+        __init__.py:170-516, recast as a static band split over ICI).
+        The small rendered bands are invariant-gathered for the loss.
         """
         cfg = self.cfg
         B, N = x.shape[:2]
@@ -391,16 +401,35 @@ class OcRFViewTransformer(nn.Module):
         cov3d = quat_scale_to_cov3d(
             rotation.astype(jnp.float32), scaling.astype(jnp.float32))
 
+        if band is not None and H % (band[1] * 16):
+            band = None                      # tile rows must divide
+        Hr = H // band[1] if band is not None else H
+
         def render_one(cam_one, color_b, opac_b, cov_b):
             g = preprocess_gaussians(self.gauss_means, cov_b, cam_one)
+            if band is not None:
+                y0 = (jax.lax.axis_index(band[0]) * Hr).astype(
+                    g.mean2d.dtype)
+                g = g._replace(mean2d=g.mean2d
+                               - jnp.stack([jnp.zeros_like(y0), y0]))
+                # the band shift makes mean2d space-varying while the
+                # other render inputs are invariant (they come from
+                # psum'd BEV features); unify the vma so the tiled
+                # compositor's scan carries type-check
+                def vary(t):
+                    vma = getattr(jax.typeof(t), "vma", frozenset())
+                    return (t if band[0] in vma
+                            else jax.lax.pvary(t, (band[0],)))
+                g = jax.tree.map(vary, g)
+                color_b, opac_b = vary(color_b), vary(opac_b)
             if cfg.renderer == "dense":
                 img, dep = render_gaussians_dense(
                     g, color_b.astype(jnp.float32),
-                    opac_b.astype(jnp.float32), H, W)
+                    opac_b.astype(jnp.float32), Hr, W)
                 return img, dep
             img, dep, _ = render_gaussians_tiled(
                 g, color_b.astype(jnp.float32),
-                opac_b.astype(jnp.float32), H, W,
+                opac_b.astype(jnp.float32), Hr, W,
                 backend=("pallas" if cfg.renderer == "pallas"
                          else "xla"))
             return img, dep
@@ -410,6 +439,12 @@ class OcRFViewTransformer(nn.Module):
         img_g, dep_g = jax.vmap(render_one,
                                 in_axes=(cam_axes, 0, 0, 0))(
             sc, color, opac, cov3d)
+        if band is not None:
+            # bands back to the full image — invariant: the photometric
+            # and depth render losses differentiate through these
+            from ...parallel.collectives import all_gather_invariant
+            img_g = all_gather_invariant(img_g, band[0], axis=1)
+            dep_g = all_gather_invariant(dep_g, band[0], axis=1)
 
         # NeRF render of the chosen camera
         fpn_c = take_cam(x)                            # [B,h,w,Cin]

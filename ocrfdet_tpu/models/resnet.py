@@ -24,6 +24,14 @@ Dtype = Any
 
 
 class ConvBN(nn.Module):
+    """Conv + BN (+ relu).
+
+    With `halo` (phase-3 row-block sharding, parallel/halo.py) the
+    input is this shard's row block: boundary rows are exchanged over
+    ICI before the conv (VALID row padding afterwards — exact vs the
+    full grid) and BN statistics psum over the space axis so they are
+    global-batch exact.
+    """
     features: int
     kernel: int = 3
     stride: int = 1
@@ -32,14 +40,23 @@ class ConvBN(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, halo=None):
+        pad_c = self.dilation * (self.kernel // 2)
+        if halo is not None and self.kernel > 1:
+            from ..parallel.halo import conv_row_halo, halo_exchange_rows
+            assert self.dilation == 1, "halo sharding: dilation=1 only"
+            up, down = conv_row_halo(self.kernel, self.stride)
+            x = halo_exchange_rows(x, halo, up, down)
+            pad = [(0, 0), (pad_c, pad_c)]
+        else:
+            pad = [(pad_c,) * 2] * 2
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride),
                     kernel_dilation=(self.dilation, self.dilation),
-                    padding=[(self.dilation * (self.kernel // 2),) * 2] * 2,
-                    use_bias=False, dtype=self.dtype)(x)
+                    padding=pad, use_bias=False, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype)(x)
+                         epsilon=1e-5, dtype=self.dtype,
+                         axis_name=halo[0] if halo is not None else None)(x)
         if self.use_relu:
             x = nn.relu(x)
         return x
@@ -52,14 +69,16 @@ class BasicBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, halo=None):
         residual = x
-        y = ConvBN(self.features, 3, self.stride, dtype=self.dtype)(x, train)
+        y = ConvBN(self.features, 3, self.stride, dtype=self.dtype)(
+            x, train, halo)
         y = ConvBN(self.features, 3, 1, use_relu=False,
-                   dtype=self.dtype)(y, train)
+                   dtype=self.dtype)(y, train, halo)
         if residual.shape != y.shape:
             residual = ConvBN(self.features, 1, self.stride, use_relu=False,
-                              dtype=self.dtype, name="downsample")(x, train)
+                              dtype=self.dtype, name="downsample")(
+                x, train, halo)
         return nn.relu(residual + y)
 
 
@@ -138,7 +157,7 @@ class CustomResNet(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, halo=None):
         out_ids = (self.backbone_output_ids
                    if self.backbone_output_ids is not None
                    else range(len(self.num_channels)))
@@ -147,7 +166,7 @@ class CustomResNet(nn.Module):
                 zip(self.num_channels, self.num_layer, self.stride)):
             for j in range(n):
                 x = BasicBlock(ch, s if j == 0 else 1, dtype=self.dtype,
-                               name=f"stage{i}_{j}")(x, train)
+                               name=f"stage{i}_{j}")(x, train, halo)
             if i in out_ids:
                 feats.append(x)
         return tuple(feats)

@@ -332,3 +332,111 @@ def test_deep_camera_sharding_cuts_per_device_flops():
     # and has the right sign; magnitude is validated by the flagship
     # cost analysis in the round bench notes.
     assert f_deep < 0.98 * f_gather, (f_deep, f_gather)
+
+
+def test_bev_row_sharding_matches_replicated():
+    """Phase-3 spatial sharding (shard_bev, parallel/halo.py): the BEV
+    stack (pre-process -> CustomResNet encoder -> FPN_LSS -> CenterHead)
+    on per-device ROW blocks with 1-row halo ppermutes equals the
+    full-grid forward EXACTLY (same ops, same padding zeros via
+    ppermute edge semantics) — independent of camera sharding.
+
+    Two comparisons:
+      * eval forward (running-average BN) vs the plain unsharded
+        apply — exact to f32 reduction noise;
+      * train forward + BN batch stats vs the shard_bev=False variant
+        ON THE SAME MESH — isolates the halo path from shard_map's
+        train-mode compilation noise upstream (the image backbone's
+        BN stats fuse differently under shard_map and the ~1e-6 jitter
+        amplifies to ~1e-3 through BN renormalisation; measured
+        identically with shard_bev on AND off)."""
+    import dataclasses
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from ocrfdet_tpu.config import ParallelConfig
+
+    base = dataclasses.replace(tiny_config(with_ocrf=False),
+                               compute_dtype="float32")
+    batch = _to_jnp(make_batch(base, batch_size=2, seed=7))
+    model_rep = OcRFDet(base)
+    variables = model_rep.init(jax.random.PRNGKey(0), batch, train=True)
+    mesh = make_mesh(data=1, space=2, devices=jax.devices()[:2])
+
+    def run(shard_bev, train):
+        cfg = dataclasses.replace(
+            base, parallel=ParallelConfig(space_axis=2,
+                                          shard_cameras=False,
+                                          shard_bev=shard_bev))
+        model = OcRFDet(cfg)
+
+        def local(params, bstats, b):
+            (preds, _), mut = model.apply(
+                {"params": params, "batch_stats": bstats}, b,
+                train=train, mutable=["batch_stats"])
+            return preds, mut["batch_stats"]
+
+        return jax.jit(shard_map(
+            local, mesh=mesh, in_specs=(P(), P(), P()), out_specs=P(),
+            check_vma=False))(variables["params"],
+                              variables["batch_stats"], batch)
+
+    # eval: sharded rows == the plain unsharded forward
+    preds_eval, _ = model_rep.apply(variables, batch, train=False)
+    preds_eval_sh, _ = run(True, train=False)
+    for t_rep, t_sh in zip(preds_eval, preds_eval_sh):
+        for k in t_rep:
+            np.testing.assert_allclose(
+                np.asarray(t_rep[k], np.float32),
+                np.asarray(t_sh[k], np.float32), rtol=1e-4, atol=1e-5,
+                err_msg=f"eval {k}")
+
+    # train: halo path == replicated path on the same mesh (BN batch
+    # stats live), tight tolerance
+    preds_rep, stats_rep = run(False, train=True)
+    preds_sh, stats_sh = run(True, train=True)
+    for t_rep, t_sh in zip(preds_rep, preds_sh):
+        for k in t_rep:
+            np.testing.assert_allclose(
+                np.asarray(t_rep[k], np.float32),
+                np.asarray(t_sh[k], np.float32), rtol=1e-3, atol=1e-4,
+                err_msg=f"train {k}")
+    for (pa, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(stats_rep),
+            jax.tree.leaves(stats_sh)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-3, atol=1e-4, err_msg=jax.tree_util.keystr(pa))
+
+
+def test_bev_row_sharding_cuts_per_device_flops():
+    """shard_bev must cut the per-device compiled program vs the
+    replicated-BEV variant on the same d2xs2 mesh (both with phase-2
+    camera sharding on)."""
+    import dataclasses
+    from ocrfdet_tpu.config import ParallelConfig
+    from ocrfdet_tpu.utils.runtime import shard_batch, shard_state
+
+    base = tiny_config(with_ocrf=True)
+    batch = _to_jnp(make_batch(base, batch_size=2, seed=4))
+    mesh = make_mesh(data=2, space=2, devices=jax.devices()[:4])
+
+    def flops(shard_bev):
+        cfg = dataclasses.replace(
+            base, parallel=ParallelConfig(
+                space_axis=2, shard_cameras=True, shard_vt=True,
+                shard_bev=shard_bev, shard_render=shard_bev))
+        model = OcRFDet(cfg)
+        variables = model.init(jax.random.PRNGKey(0), batch, train=True)
+        tx = make_optimizer(cfg.optim, variables["params"],
+                            steps_per_epoch=100)
+        state = shard_state(mesh, create_train_state(variables, tx))
+        b = shard_batch(mesh, batch)
+        step = build_train_step(cfg, model, tx, mesh)
+        cost = step.lower(state, b).compile().cost_analysis()
+        return float(cost["flops"])
+
+    f_sharded = flops(True)
+    f_replicated = flops(False)
+    # the tiny BEV stack + render is a minority of tiny-scale FLOPs;
+    # the flagship-scale delta is recorded in PHASE3_r04.json
+    assert f_sharded < 0.99 * f_replicated, (f_sharded, f_replicated)
