@@ -39,6 +39,14 @@ def is_render_param(path) -> bool:
     return any(k in p for k in RENDER_LR_KEYS)
 
 
+def is_frozen_param(path) -> bool:
+    """The VGGT teacher is frozen (reference bevdet_vggt.py:86-90
+    eval()+requires_grad False); its 909M params get a stateless
+    set_to_zero() partition so Adam allocates no m/v for them (~7 GB
+    of HBM at ViT-L scale) and weight decay never touches them."""
+    return "aggregator" in _path_str(path)
+
+
 def lr_schedule(cfg: OptimConfig, steps_per_epoch: int):
     def fn(step):
         warm = cfg.warmup_ratio + (1.0 - cfg.warmup_ratio) * jnp.minimum(
@@ -59,9 +67,10 @@ def render_mult_schedule(cfg: OptimConfig, steps_per_epoch: int):
 def make_optimizer(cfg: OptimConfig, params, steps_per_epoch: int):
     base_lr = lr_schedule(cfg, steps_per_epoch)
     mult = render_mult_schedule(cfg, steps_per_epoch)
-    render_mask = jax.tree_util.tree_map_with_path(
-        lambda path, _: is_render_param(path), params)
-    other_mask = jax.tree.map(lambda m: not m, render_mask)
+    labels = jax.tree_util.tree_map_with_path(
+        lambda path, _: ("frozen" if is_frozen_param(path)
+                         else "render" if is_render_param(path)
+                         else "other"), params)
 
     def scaled_adamw(extra_mult):
         def lr(step):
@@ -73,9 +82,9 @@ def make_optimizer(cfg: OptimConfig, params, steps_per_epoch: int):
         optax.clip_by_global_norm(cfg.grad_clip_norm),
         optax.partition(
             {"render": scaled_adamw(mult),
-             "other": scaled_adamw(lambda s: 1.0)},
-            jax.tree.map(
-                lambda m: "render" if m else "other", render_mask)),
+             "other": scaled_adamw(lambda s: 1.0),
+             "frozen": optax.set_to_zero()},
+            labels),
     )
     return tx
 
