@@ -116,8 +116,14 @@ class DepthNetConfig:
     # source-column window width of the mm kernel; >= feature width
     # disables windowing (exact for any geometry, ~3.7x the matmul
     # FLOPs at flagship shapes)
-    cv_win: int = 48
+    cv_win: int = 32
     cv_win_h: int = 32
+    # destination pixel tile of the mm kernel. Narrower tiles need
+    # narrower column windows (the per-plane x-span scales with tile
+    # width): 16x8 tiles with a 32x32 window measured 12% faster than
+    # 16x16/48x32 at flagship shapes with a slightly SMALLER deviation
+    # vs the gather path (r4 sweep; see ops/cost_volume.py).
+    cv_tile: Tuple[int, int] = (16, 8)
 
 
 @dataclass(frozen=True)

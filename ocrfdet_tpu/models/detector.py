@@ -240,7 +240,8 @@ class OcRFDet(nn.Module):
                     cfg.vt.depthnet.cost_volume_bias,
                     impl=cfg.vt.depthnet.cv_impl,
                     win_w=cfg.vt.depthnet.cv_win,
-                    win_h=cfg.vt.depthnet.cv_win_h)
+                    win_h=cfg.vt.depthnet.cv_win_h,
+                    tile=cfg.vt.depthnet.cv_tile)
                 cv = jax.lax.stop_gradient(cv)
                 B, N = cv.shape[:2]
                 cv = jnp.moveaxis(cv, 2, -1)  # [B,N,Hc,Wc,D]

@@ -281,8 +281,8 @@ def _untile_pixels(x, H, W, th, tw):
 
 
 def cost_volume_mm(curr_feat, prev_feat, depths, az, bz, a2, b2,
-                   bias: float, win_w: int = 48, win_h: int = 32,
-                   tile: Tuple[int, int] = (16, 16),
+                   bias: float, win_w: int = 32, win_h: int = 32,
+                   tile: Tuple[int, int] = (16, 8),
                    interpret: bool | None = None):
     """MXU windowed one-hot matmul warp. Same contract as
     cost_volume_scan (raw cost [B,N,D,H,W] f32); see module docstring
@@ -369,7 +369,8 @@ def cost_volume_mm(curr_feat, prev_feat, depths, az, bz, a2, b2,
 def stereo_cost_volume(curr_feat, prev_feat, cv_frustum, k2s_sensor,
                        intrins, post_rots, post_trans, input_size,
                        bias: float, impl: str = "auto",
-                       win_w: int = 48, win_h: int = 32):
+                       win_w: int = 32, win_h: int = 32,
+                       tile: Tuple[int, int] = (16, 8)):
     """Plane-sweep cost volume against the previous frame.
 
     Args:
@@ -407,7 +408,7 @@ def stereo_cost_volume(curr_feat, prev_feat, cv_frustum, k2s_sensor,
     if impl == "mm":
         cost = cost_volume_mm(curr_feat, prev_feat, np.asarray(depths),
                               az, bz, a2, b2, bias, win_w=win_w,
-                              win_h=win_h)
+                              win_h=win_h, tile=tile)
     else:
         cost = cost_volume_scan(curr_feat, prev_feat, depths, az, bz,
                                 a2, b2, bias)
