@@ -172,10 +172,17 @@ def bench_with_loader(batch_size: int, steps: int):
     step_fn = build_train_step(cfg, model, tx, mesh)
 
     def batches():
+        # host-only entries stay on host (same filter as
+        # train/trainer.py _device_batch)
         ep = 0
         while True:
             for b in loader.epoch(ep):
-                yield b
+                d = {k: v for k, v in b.items()
+                     if k not in ("gt_boxes", "gt_labels",
+                                  "sample_token")}
+                d["with_prev"] = np.asarray(1.0, np.float32)
+                d["use_box_mask"] = np.asarray(0.0, np.float32)
+                yield d
             ep += 1
 
     it = batches()
