@@ -171,26 +171,24 @@ def bench_with_loader(batch_size: int, steps: int):
     state = shard_state(mesh, create_train_state(variables, tx))
     step_fn = build_train_step(cfg, model, tx, mesh)
 
+    from ocrfdet_tpu.train.trainer import device_batch
+
     def batches():
-        # host-only entries stay on host (same filter as
-        # train/trainer.py _device_batch)
+        # single shared batch-prep path (host-only filter + epoch
+        # gates + sharding) — train/trainer.py device_batch
         ep = 0
         while True:
             for b in loader.epoch(ep):
-                d = {k: v for k, v in b.items()
-                     if k not in ("gt_boxes", "gt_labels",
-                                  "sample_token")}
-                d["with_prev"] = np.asarray(1.0, np.float32)
-                d["use_box_mask"] = np.asarray(0.0, np.float32)
-                yield d
+                yield device_batch(mesh, b, with_prev=1.0,
+                                   use_box_mask=0.0)
             ep += 1
 
     it = batches()
-    state, m = step_fn(state, shard_batch(mesh, next(it)))
+    state, m = step_fn(state, next(it))
     jax.block_until_ready(m["loss_total"])
     t0 = time.perf_counter()
     for _ in range(steps):
-        state, m = step_fn(state, shard_batch(mesh, next(it)))
+        state, m = step_fn(state, next(it))
     jax.block_until_ready(m["loss_total"])
     dt = time.perf_counter() - t0
     return batch_size * steps / dt, float(m["loss_total"])

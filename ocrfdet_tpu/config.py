@@ -124,6 +124,20 @@ class DepthNetConfig:
     # 16x16/48x32 at flagship shapes with a slightly SMALLER deviation
     # vs the gather path (r4 sweep; see ops/cost_volume.py).
     cv_tile: Tuple[int, int] = (16, 8)
+    # per-plane-group windows ((end_idx, win_w, win_h), ...), chosen
+    # from the measured per-plane span profile at flagship geometry
+    # under live augmentation (tools_tpu/cv_window_audit.py,
+    # CV_AUDIT_r05.json): planes < 48 (< ~5.3 m) carry metres of
+    # disparity spread and keep the wide window; planes 48-63 need
+    # <= 15x32 (win 24x32 leaves margin); planes >= 64 need <= 12x27.
+    # Covers the default 118-plane SID grid; None or a non-covering
+    # spec falls back to the uniform (cv_win, cv_win_h) window. These
+    # groups were validated clamp-equivalent to the uniform window by
+    # the audit (zero extra clamps on every draw). NOTE: chosen for
+    # the flagship input shapes — re-run the audit before reusing on a
+    # different geometry.
+    cv_plane_groups: Tuple[Tuple[int, int, int], ...] = (
+        (48, 32, 32), (64, 24, 32), (9999, 16, 32))
 
 
 @dataclass(frozen=True)
@@ -155,6 +169,13 @@ class ViewTransformerConfig:
     render_image_size: Tuple[int, int] = (256, 704)
     znear: float = 0.01
     zfar: float = 999.9
+    # PROFILING-ONLY ablations (never set in a real run — they change
+    # the math): subsets of {'nerf','hoa','sample','render'} skip the
+    # corresponding OcRF sub-block so tools_tpu/step_variants.py can
+    # attribute step time by difference (the tunnelled TPU trace drops
+    # most device events, so differential timing is the reliable
+    # attribution; see VT __call__ for each seam).
+    ablate: Tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)

@@ -17,7 +17,7 @@ import numpy as np
 
 from ..config import OcRFDetConfig
 from . import infos as INF
-from .pipeline import collate, prepare_sample
+from .pipeline import collate, multi_scale_flip_aug, prepare_sample
 
 
 class NuScenesDataset:
@@ -39,8 +39,13 @@ class NuScenesDataset:
     def sample(self, i: int, epoch: int = 0) -> Dict[str, np.ndarray]:
         rng = np.random.default_rng(
             (self.cfg.seed * 1_000_003 + epoch * 997 + int(i)) % (2 ** 63))
-        return prepare_sample(self.cfg, self.infos, int(self.indices[i]),
-                              rng, is_train=self.is_train)
+        s = prepare_sample(self.cfg, self.infos, int(self.indices[i]),
+                           rng, is_train=self.is_train)
+        if not self.is_train:
+            # eval samples pass through the identity TTA wrapper
+            # (reference MultiScaleFlipAug3D; see pipeline.py)
+            (s,) = multi_scale_flip_aug(s)
+        return s
 
 
 class Loader:

@@ -343,3 +343,35 @@ def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
         else:
             out[k] = np.stack([s[k] for s in samples])
     return out
+
+
+@dataclass(frozen=True)
+class TTASpec:
+    """Test-time-aug spec for multi_scale_flip_aug (reference
+    MultiScaleFlipAug3D ctor args img_scale / flip)."""
+    scales: tuple = (1.0,)
+    flip: bool = False
+
+
+def multi_scale_flip_aug(sample: Dict[str, np.ndarray],
+                         spec: TTASpec = TTASpec()
+                         ) -> List[Dict[str, np.ndarray]]:
+    """Eval-pipeline TTA wrapper — the analog of the reference's
+    MultiScaleFlipAug3D (mmdet3d/datasets/pipelines/test_time_aug.py),
+    which wraps every test sample in a list of augmented variants.
+
+    The shipped OcRFDet eval config is IDENTITY TTA: one scale,
+    flip=False, and the inner transforms are format/collect only
+    (configs/ocrfdet/ocrfdet.py:202-212), so the reference's wrapper
+    contributes exactly one unmodified variant per sample — which is
+    what this returns. A non-identity spec would need aug-consistent
+    camera tensors per variant plus a prediction-fusion step that the
+    reference never implements for 3D boxes either; refuse it rather
+    than silently mis-evaluate.
+    """
+    if tuple(spec.scales) != (1.0,) or spec.flip:
+        raise NotImplementedError(
+            "non-identity test-time augmentation (scales != (1.0,) or "
+            "flip) is not supported — the reference's shipped eval "
+            "config is identity TTA too")
+    return [sample]

@@ -107,11 +107,12 @@ class OcRFDet(nn.Module):
         except NameError:
             return None
         S = cfg.parallel.space_axis
-        # stride-2 halo exactness needs even row offsets at each of the
-        # three stride-2 BEV encoder stages (parallel/halo.py), i.e.
-        # block size divisible by 2^3; fall back to replicated rows if
-        # the grid doesn't divide cleanly.
-        if cfg.vt.bev_h % S or (cfg.vt.bev_h // S) % 8:
+        # stride-2 halo exactness needs even row offsets at each
+        # stride-2 BEV encoder stage (parallel/halo.py), i.e. block
+        # size divisible by 2^(#stride-2 stages); fall back to
+        # replicated rows if the grid doesn't divide cleanly.
+        div = 2 ** sum(s == 2 for s in cfg.bev_encoder.stride)
+        if cfg.vt.bev_h % S or (cfg.vt.bev_h // S) % div:
             return None
         return ("space", S)
 
@@ -241,7 +242,8 @@ class OcRFDet(nn.Module):
                     impl=cfg.vt.depthnet.cv_impl,
                     win_w=cfg.vt.depthnet.cv_win,
                     win_h=cfg.vt.depthnet.cv_win_h,
-                    tile=cfg.vt.depthnet.cv_tile)
+                    tile=cfg.vt.depthnet.cv_tile,
+                    plane_groups=cfg.vt.depthnet.cv_plane_groups)
                 cv = jax.lax.stop_gradient(cv)
                 B, N = cv.shape[:2]
                 cv = jnp.moveaxis(cv, 2, -1)  # [B,N,Hc,Wc,D]

@@ -250,23 +250,26 @@ class OcRFViewTransformer(nn.Module):
         # cameras are processed in groups sized so the transient
         # [B*group, H, W, C] full-res feature stays ~<400 MB.
         Hf, Wf = cfg.render_image_size
-        group = max(1, min(N, 8 // max(B, 1)))
-        alpha_parts = []
-        for n0 in range(0, N, group):
-            xs = x[:, n0:n0 + group]
-            gN = xs.shape[1]
-            full = self.nerf_full_feat(
-                xs.reshape((B * gN,) + xs.shape[2:]))
-            a = self.nerf_alpha(full)[..., 0]
-            alpha_parts.append(a.reshape(B, gN, *a.shape[1:]))
-        alphas = jnp.concatenate(alpha_parts, axis=1)  # [B, N, H, W]
+        if "nerf" in cfg.ablate:               # profiling-only seam
+            alphas = jnp.zeros((B, N, Hf, Wf), jnp.float32)
+        else:
+            group = max(1, min(N, 8 // max(B, 1)))
+            alpha_parts = []
+            for n0 in range(0, N, group):
+                xs = x[:, n0:n0 + group]
+                gN = xs.shape[1]
+                full = self.nerf_full_feat(
+                    xs.reshape((B * gN,) + xs.shape[2:]))
+                a = self.nerf_alpha(full)[..., 0]
+                alpha_parts.append(a.reshape(B, gN, *a.shape[1:]))
+            alphas = jnp.concatenate(alpha_parts, axis=1)  # [B,N,H,W]
 
         # alpha back-projected to voxels (correct sampling; see header).
         # In training the render branch also needs per-voxel RGB from
         # the unnormalised images; sampling [alpha, rgb] as one C=4 map
         # shares the gather descriptors (the dominant cost of this op)
         # instead of running two full-resolution gather sets.
-        render_on = is_key and train
+        render_on = is_key and train and "render" not in cfg.ablate
         maps = alphas[..., None].astype(jnp.float32)
         if render_on:
             imgs_rgb = batch["imgs_wo_norm"].astype(jnp.float32) / 255.0
@@ -280,8 +283,12 @@ class OcRFViewTransformer(nn.Module):
             else:
                 imgs_rgb_l = imgs_rgb
             maps = jnp.concatenate([maps, imgs_rgb_l], axis=-1)
-        sampled = self.sample_at_voxels(maps, uvd, valid,
-                                        psum_axis=space_axis)
+        if "sample" in cfg.ablate:             # profiling-only seam
+            sampled = jnp.zeros((B, Zh, Nq, maps.shape[-1]),
+                                jnp.float32)
+        else:
+            sampled = self.sample_at_voxels(maps, uvd, valid,
+                                            psum_axis=space_axis)
         alpha_lidar = sampled[..., 0]
         vox_rgb = sampled[..., 1:4] if render_on else None
         alpha_vox = alpha_lidar.reshape(B, Zh, cfg.bev_h, cfg.bev_w)
@@ -292,13 +299,17 @@ class OcRFViewTransformer(nn.Module):
         ds_hw = (max(cfg.bev_h // 6, 8), max(cfg.bev_w // 6, 8))
         op_ch = jnp.moveaxis(opac_vox, 1, -1)          # [B, Y, X, Zh]
         al_ch = jnp.moveaxis(alpha_vox, 1, -1)
-        op_ds = resize_bilinear(op_ch, ds_hw, align_corners=True)
-        al_ds = resize_bilinear(al_ch, ds_hw, align_corners=True)
-        att = self.deform_attn(op_ds.astype(self.dtype),
-                               al_ds.astype(self.dtype), train=train)
-        att_up = resize_bilinear(att, (cfg.bev_h, cfg.bev_w),
-                                 align_corners=True)
-        opacity_alpha = att_up + op_ch                 # [B, Y, X, Zh]
+        if "hoa" in cfg.ablate:                # profiling-only seam
+            opacity_alpha = op_ch
+        else:
+            op_ds = resize_bilinear(op_ch, ds_hw, align_corners=True)
+            al_ds = resize_bilinear(al_ch, ds_hw, align_corners=True)
+            att = self.deform_attn(op_ds.astype(self.dtype),
+                                   al_ds.astype(self.dtype),
+                                   train=train)
+            att_up = resize_bilinear(att, (cfg.bev_h, cfg.bev_w),
+                                     align_corners=True)
+            opacity_alpha = att_up + op_ch             # [B, Y, X, Zh]
 
         pos_hoa = self.pos_enc_hoa(B)
         opacity_bev_logit = self.opacity_to_bev(

@@ -39,11 +39,25 @@ Two TPU execution strategies for the warp itself:
 
     Window-clamp semantics: the window start is the floor of the
     smallest in-view sample x of the tile; any sample that is in-view
-    but further than win_w-1 columns right of it (possible only under
-    extreme magnification, |dpx/du| > ~3 for a 16-wide tile) gets all-
+    but whose bilinear support is not fully inside the window gets all-
     zero tent weights and is therefore scored as invalid (+bias)
     rather than with its true cost. win_w >= W disables windowing and
-    is exact for every geometry. Documented in PARITY.md.
+    is exact for every geometry. MEASURED at flagship geometry by
+    ops/cv_audit.py + tools_tpu/cv_window_audit.py (CV_AUDIT_r05.json):
+    the required window span is strongly depth-plane-dependent (near
+    planes see metres of stereo disparity spread; planes >= ~5 m need
+    <= 15x32), so windows are configured PER PLANE GROUP
+    (DepthNetConfig.cv_plane_groups): wide for near planes, narrow for
+    far — cutting the burned matmul FLOPs ~28% with a clamp fraction
+    identical to the old uniform 32x32 window (1.6e-3 of valid samples
+    under live-aug geometry, all on planes < 5 m; 2e-5 on the
+    no-aug benchmark rig). NOTE the FLOP cut is an accounting
+    improvement, not a wall-clock one: honest device-loop timing shows
+    the kernel time tracks plane count, not window area, in the
+    512-1024-sample range (47-52 ms for every grouping tried at
+    [6 cams, 118 planes]); the kernel runs at ~46% MXU utilization
+    and the window shrink moves it further from FLOP-bound.
+    Documented in PARITY.md item 5.
 """
 from __future__ import annotations
 
@@ -257,6 +271,89 @@ def _mm_kernel(dep_ref, cam_ref, prev_ref, coef_ref, curr_ref, out_ref,
         out_ref[0, 0, i, :] = cost[:, 0]
 
 
+def _mm_chunk_kernel(dep_ref, cam_ref, prev_ref, coef_ref, curr_ref,
+                     out_ref, *, win_w: int, win_h: int, H: int, W: int,
+                     C: int, bias: float, inv_ch: int, dch: int):
+    """Chunk-shared-window variant of _mm_kernel: ONE dynamic window
+    slice and ONE [dch*P, S] @ [S, C] matmul per dch-plane chunk.
+
+    Hypothesis was that the per-plane kernel pays a fixed ~0.35 us per
+    plane in dynamic-slice setup + cross-lane min-reductions that one
+    shared window would amortize 8x (consecutive SID planes map a tile
+    to nearly the same source region: chunk-union spans exceed
+    per-plane spans by <= ~8 columns beyond plane 16). MEASURED r5
+    result on v5e, honest device-loop timing with the full output
+    consumed: all-chunk 32x32 = 51.6 ms vs per-plane 32x32 = 47.2 ms
+    at [6 cams, 118 planes, 64x176, C=256] — the shared window does
+    NOT win; the per-plane kernel already runs at ~46% MXU utilization
+    with the VPU tent build mostly overlapped, and the bigger [8P, S]
+    matmul gains less than the wider-window FLOPs cost. Kept (tested,
+    config-gated via plane-group mode 'chunk') because the trade-off
+    is hardware-generation-dependent, but the shipped default uses
+    per-plane windows. Clamp semantics: same all-or-nothing rule with
+    the window start from the chunk-wide minimum in-view coordinate
+    (audited by ops/cv_audit.py chunk_shared=True)."""
+    b = pl.program_id(0)
+    dc = pl.program_id(2)
+    bz = cam_ref[b, 0]
+    b2x = cam_ref[b, 1]
+    b2y = cam_ref[b, 2]
+    az = coef_ref[0, 0, :, 0:1]
+    a2x = coef_ref[0, 0, :, 1:2]
+    a2y = coef_ref[0, 0, :, 2:3]
+    curr = curr_ref[0, 0].astype(jnp.float32)       # [P, C]
+
+    pxs, pys = [], []
+    for i in range(dch):
+        dv = dep_ref[dc * dch + i]
+        den = dv * az + bz
+        front = den >= 1e-3
+        safe = jnp.where(front, den, 1.0)
+        pxs.append(jnp.where(front, (dv * a2x + b2x) / safe, -2.0 * W))
+        pys.append(jnp.where(front, (dv * a2y + b2y) / safe, -2.0 * H))
+    px = jnp.concatenate(pxs, axis=0)               # [dch*P, 1]
+    py = jnp.concatenate(pys, axis=0)
+
+    def window(p, n, win_n, align):
+        pin = jnp.where((p > -1.0) & (p < n), p, jnp.inf)
+        s0f = jnp.min(pin)
+        s0i = jnp.where(jnp.isfinite(s0f), jnp.floor(s0f), 0.0)
+        s0 = jnp.clip(s0i.astype(jnp.int32), 0, n - win_n)
+        if align > 1:
+            s0 = pl.multiple_of((s0 // align) * align, align)
+        f = jnp.floor(p)
+        sf = s0.astype(jnp.float32)
+        ovf = (((f < sf) & (f >= 0.0))
+               | ((f + 1.0 > sf + (win_n - 1)) & (f + 1.0 <= n - 1)))
+        return s0, jnp.where(ovf, -2.0 * n, p)
+
+    if win_w < W:
+        x0, px = window(px, W, win_w, 1)
+    else:
+        x0 = 0
+    if win_h < H:
+        y0, py = window(py, H, win_h, 8)
+    else:
+        y0 = 0
+    win = prev_ref[0, pl.ds(x0, win_w), pl.ds(y0, win_h), :]
+    win2 = win.reshape(win_w * win_h, C)
+    S = win_w * win_h
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    xk = ((k // win_h) + x0).astype(jnp.float32)
+    yk = ((k % win_h) + y0).astype(jnp.float32)
+    w = (jnp.maximum(0.0, 1.0 - jnp.abs(px - xk))
+         * jnp.maximum(0.0, 1.0 - jnp.abs(py - yk)))     # [dch*P, S]
+    warped = jnp.dot(w.astype(jnp.bfloat16), win2,
+                     preferred_element_type=jnp.float32)  # [dch*P, C]
+    curr_t = jnp.concatenate([curr] * dch, axis=0)
+    cost = jnp.sum(jnp.abs(curr_t - warped), axis=1, keepdims=True)
+    invalid = warped[:, inv_ch:inv_ch + 1] == 0.0
+    cost = jnp.where(invalid, cost + bias, cost)
+    P = curr.shape[0]
+    for i in range(dch):                 # plane-major rows -> planes
+        out_ref[0, 0, i, :] = cost[i * P:(i + 1) * P, 0]
+
+
 def _tile_pixels(x, th, tw, pad_value=0.0):
     """[BN, H, W, F] -> [BN, nT, th*tw, F] with edge padding."""
     BN, H, W, F = x.shape
@@ -283,16 +380,47 @@ def _untile_pixels(x, H, W, th, tw):
 def cost_volume_mm(curr_feat, prev_feat, depths, az, bz, a2, b2,
                    bias: float, win_w: int = 32, win_h: int = 32,
                    tile: Tuple[int, int] = (16, 8),
+                   plane_groups=None, chunk_mode: bool = False,
                    interpret: bool | None = None):
     """MXU windowed one-hot matmul warp. Same contract as
     cost_volume_scan (raw cost [B,N,D,H,W] f32); see module docstring
     for the window-clamp semantics (the window is 2-D since round 4:
-    one fixed depth plane maps a 16x16 tile to a compact region in BOTH
-    axes, so rows outside a win_h-tall band are as wasted as columns).
-    `depths` must be concrete."""
+    one fixed depth plane maps a destination tile — (16, 8) rows x
+    cols by default — to a compact region in BOTH axes, so rows
+    outside a win_h-tall band are as wasted as columns).
+    `depths` must be concrete.
+
+    plane_groups: optional ((end_idx, win_w, win_h[, mode]), ...) — the
+    required window span shrinks sharply with plane depth
+    (CV_AUDIT_r05.json: near planes carry metres of disparity spread,
+    planes beyond ~5 m fit 15x32), so each contiguous plane group
+    [prev_end, end_idx) runs its own pallas_call with its own window
+    and the raw costs are concatenated along D. mode 'chunk' selects
+    the chunk-shared-window kernel (_mm_chunk_kernel: one slice + one
+    [DCH*P, S] matmul per 8-plane chunk — amortizes the measured
+    ~0.35 us/plane scalar fixed cost; needs the slightly wider
+    chunk-union window from the audit). None = one per-plane group
+    with (win_w, win_h)."""
     B, N, Hc, Wc, C = curr_feat.shape
     depths = np.asarray(depths, np.float32)
     D = depths.shape[0]
+    if plane_groups:
+        start = 0
+        parts = []
+        for grp in plane_groups:
+            end, ww, wh = grp[:3]
+            mode = grp[3] if len(grp) > 3 else "plane"
+            end = min(int(end), D)
+            if end <= start:
+                continue
+            parts.append(cost_volume_mm(
+                curr_feat, prev_feat, depths[start:end], az, bz, a2,
+                b2, bias, win_w=ww, win_h=wh, tile=tile,
+                chunk_mode=(mode == "chunk"), interpret=interpret))
+            start = end
+        assert start == D, ("plane_groups must cover every depth "
+                            "plane", start, D)
+        return jnp.concatenate(parts, axis=2)
     BN = B * N
     th, tw = tile
     win_w = min(win_w, Wc)
@@ -324,30 +452,21 @@ def cost_volume_mm(curr_feat, prev_feat, depths, az, bz, a2, b2,
     depths_p = np.pad(depths, (0, Dp - D), constant_values=-1e9)
 
     S = win_w * win_h
-    kernel = functools.partial(
-        _mm_kernel, win_w=win_w, win_h=win_h, H=Hc, W=Wc, C=C,
-        bias=float(bias), inv_ch=_invalid_channel(C))
-    out = pl.pallas_call(
-        kernel,
+    in_specs = [
+        pl.BlockSpec((Dp,), lambda b, t, d: (0,),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((BN, 4), lambda b, t, d: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, Wc, Hc, C), lambda b, t, d: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, P, 4), lambda b, t, d: (b, t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, P, C), lambda b, t, d: (b, t, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    common = dict(
         grid=(BN, nT, Dp // DCH),
-        in_specs=[
-            pl.BlockSpec((Dp,), lambda b, t, d: (0,),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((BN, 4), lambda b, t, d: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Wc, Hc, C), lambda b, t, d: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P, 4), lambda b, t, d: (b, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P, C), lambda b, t, d: (b, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, DCH, P),
-                               lambda b, t, d: (b, t, d, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (BN, nT, Dp, P), jnp.float32,
-            vma=union_vma(curr_feat, prev_feat, az, bz, a2, b2)),
+        in_specs=in_specs,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -357,7 +476,25 @@ def cost_volume_mm(curr_feat, prev_feat, depths, az, bz, a2, b2,
             bytes_accessed=BN * (2 * Hc * Wc * C * 2 + nT * P * Dp * 4),
             transcendentals=0),
         interpret=interpret,
-    )(jnp.asarray(depths_p), cam, prev_strip, coef_t, curr_t)
+    )
+    vma = union_vma(curr_feat, prev_feat, az, bz, a2, b2)
+    args = (jnp.asarray(depths_p), cam, prev_strip, coef_t, curr_t)
+    if chunk_mode:
+        kernel = functools.partial(
+            _mm_chunk_kernel, win_w=win_w, win_h=win_h, H=Hc, W=Wc,
+            C=C, bias=float(bias), inv_ch=_invalid_channel(C), dch=DCH)
+    else:
+        kernel = functools.partial(
+            _mm_kernel, win_w=win_w, win_h=win_h, H=Hc, W=Wc, C=C,
+            bias=float(bias), inv_ch=_invalid_channel(C))
+    out = pl.pallas_call(
+        kernel,
+        out_specs=pl.BlockSpec((1, 1, DCH, P),
+                               lambda b, t, d: (b, t, d, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (BN, nT, Dp, P), jnp.float32, vma=vma),
+        **common)(*args)
     return _untile_pixels(out[:, :, :D], Hc, Wc, th, tw).reshape(
         B, N, D, Hc, Wc)
 
@@ -370,7 +507,8 @@ def stereo_cost_volume(curr_feat, prev_feat, cv_frustum, k2s_sensor,
                        intrins, post_rots, post_trans, input_size,
                        bias: float, impl: str = "auto",
                        win_w: int = 32, win_h: int = 32,
-                       tile: Tuple[int, int] = (16, 8)):
+                       tile: Tuple[int, int] = (16, 8),
+                       plane_groups=None):
     """Plane-sweep cost volume against the previous frame.
 
     Args:
@@ -408,7 +546,8 @@ def stereo_cost_volume(curr_feat, prev_feat, cv_frustum, k2s_sensor,
     if impl == "mm":
         cost = cost_volume_mm(curr_feat, prev_feat, np.asarray(depths),
                               az, bz, a2, b2, bias, win_w=win_w,
-                              win_h=win_h, tile=tile)
+                              win_h=win_h, tile=tile,
+                              plane_groups=plane_groups)
     else:
         cost = cost_volume_scan(curr_feat, prev_feat, depths, az, bz,
                                 a2, b2, bias)

@@ -69,8 +69,15 @@ def _fwd_kernel(map_ref, pts_ref, out_ref, *, H, W, C):
     v = (jax.lax.broadcasted_iota(jnp.int32, (Pb, C * H), 1) % H) \
         .astype(jnp.float32)
     ev = jnp.maximum(0.0, 1.0 - jnp.abs(py - v))
-    prod = (tmp * ev).reshape(Pb, C, H)
-    out_ref[0] = jnp.sum(prod, axis=-1)
+    prod = tmp * ev                                  # [Pb, C*H] f32
+    # per-channel segment sum over the H lanes of each channel block.
+    # NOT a (Pb, C*H) -> (Pb, C, H) reshape + sum: that lane-dim shape
+    # cast is rejected by current Mosaic ("infer-vector-layout:
+    # unsupported shape cast"); static lane slices + reductions lower
+    # cleanly and are exact f32 math.
+    cols = [jnp.sum(prod[:, c * H:(c + 1) * H], axis=1, keepdims=True)
+            for c in range(C)]
+    out_ref[0] = jnp.concatenate(cols, axis=1)       # [Pb, C]
 
 
 def _bwd_kernel(pts_ref, dout_ref, dmap_ref, *, H, W, C):

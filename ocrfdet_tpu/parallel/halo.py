@@ -117,6 +117,11 @@ def resize_rows_blocked(x, n_out_global: int, spec: HaloSpec):
     name, S = spec
     Yl_in = x.shape[1]
     assert n_out_global % S == 0, (n_out_global, S)
+    # the radius<=1 exactness argument only holds for UPSAMPLING; a
+    # downsampling call would read input rows outside the 1-row halo
+    # (they contribute zeros — silently wrong) — refuse it
+    assert n_out_global >= Yl_in * S, \
+        ("resize_rows_blocked is upsampling-only", n_out_global, Yl_in, S)
     Yl_out = n_out_global // S
     W = resize_rows_matrix(n_out_global, Yl_in * S)
     # pad one zero column each side: column j of Wp = input row j-1,

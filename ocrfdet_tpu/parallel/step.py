@@ -169,6 +169,8 @@ def build_eval_step(cfg: OcRFDetConfig, model, mesh: Mesh) -> Callable:
 
 def eval_step_from_state(cfg: OcRFDetConfig, model, mesh: Mesh,
                          state: TrainState) -> Callable:
+    from ..train.optim import resolve_ema
     fn = build_eval_step(cfg, model, mesh)
-    return lambda batch: fn(state.ema_params, state.ema_batch_stats,
-                            batch)
+    return lambda batch: fn(
+        resolve_ema(state.params, state.ema_params),
+        resolve_ema(state.batch_stats, state.ema_batch_stats), batch)

@@ -20,14 +20,14 @@ from ..core.nusc_format import boxes_to_nusc_sample, write_results_json
 from ..ops.nms import multi_task_nms
 
 
-def _device_batch(batch):
+def _device_batch(batch, with_prev: float = 1.0):
     out = {}
     for k, v in batch.items():
         if k in ("gt_boxes", "gt_labels", "sample_token"):
             continue
         out[k] = ([jnp.asarray(x) for x in v] if isinstance(v, list)
                   else jnp.asarray(v))
-    out["with_prev"] = jnp.asarray(1.0, dtype=jnp.float32)
+    out["with_prev"] = jnp.asarray(with_prev, dtype=jnp.float32)
     out["use_box_mask"] = jnp.asarray(0.0, dtype=jnp.float32)
     return out
 
@@ -47,7 +47,7 @@ def run_eval(cfg: OcRFDetConfig, model, params, batch_stats, loader,
              out_json: Optional[str] = None,
              max_batches: Optional[int] = None,
              token_to_pose: Optional[dict] = None,
-             mesh=None) -> Dict[str, float]:
+             mesh=None, with_prev: float = 1.0) -> Dict[str, float]:
     """token_to_pose maps sample_token -> the key CAM_FRONT info dict
     (ego2global_* fields) for global-frame JSON output; identity pose
     is used when absent (native metrics are pose-independent).
@@ -68,11 +68,11 @@ def run_eval(cfg: OcRFDetConfig, model, params, batch_stats, loader,
     for bi, batch in enumerate(loader.epoch(0)):
         if max_batches is not None and bi >= max_batches:
             break
-        dev = _device_batch(batch) if mesh is None else {
+        dev = _device_batch(batch, with_prev) if mesh is None else {
             k: v for k, v in batch.items()
             if k not in ("gt_boxes", "gt_labels", "sample_token")}
         if mesh is not None:
-            dev["with_prev"] = np.asarray(1.0, dtype=np.float32)
+            dev["with_prev"] = np.asarray(with_prev, dtype=np.float32)
             dev["use_box_mask"] = np.asarray(0.0, dtype=np.float32)
         decoded = fwd(params, batch_stats, dev)
         # local shard of the global decode (process-addressable rows)

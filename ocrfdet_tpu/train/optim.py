@@ -43,8 +43,12 @@ def is_frozen_param(path) -> bool:
     """The VGGT teacher is frozen (reference bevdet_vggt.py:86-90
     eval()+requires_grad False); its 909M params get a stateless
     set_to_zero() partition so Adam allocates no m/v for them (~7 GB
-    of HBM at ViT-L scale) and weight decay never touches them."""
-    return "aggregator" in _path_str(path)
+    of HBM at ViT-L scale) and weight decay never touches them. The
+    match is anchored to the TOP-LEVEL module key so a future module
+    merely containing the substring (e.g. 'bev_aggregator') is never
+    silently frozen."""
+    return len(path) > 0 and str(getattr(path[0], "key", path[0])) == \
+        "aggregator"
 
 
 def lr_schedule(cfg: OptimConfig, steps_per_epoch: int):
@@ -95,11 +99,33 @@ def ema_decay(cfg: OptimConfig, updates):
     return cfg.ema_decay * (1.0 - jnp.exp(-u / 2000.0))
 
 
+def ema_init_tree(tree):
+    """EMA copy of a variable tree — except frozen subtrees (the VGGT
+    teacher), whose leaves get a scalar placeholder instead of a full
+    f32 copy: EMA(frozen) == frozen forever, and materializing it
+    costs ~3.6 GB of HBM at ViT-L scale (the difference between
+    GeoEnhDet fitting batch 4 on a 16 GB chip or not). resolve_ema()
+    substitutes the raw value back at eval time."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: (jnp.zeros((), jnp.float32) if is_frozen_param(p)
+                      else jnp.array(x, jnp.float32, copy=True)), tree)
+
+
 def ema_update(cfg: OptimConfig, ema_tree, new_tree, updates):
     d = ema_decay(cfg, updates)
-    return jax.tree.map(
-        lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+    return jax.tree_util.tree_map_with_path(
+        lambda path, e, p: (e if is_frozen_param(path)
+                            else e * d + p.astype(e.dtype) * (1.0 - d)),
         ema_tree, new_tree)
+
+
+def resolve_ema(raw_tree, ema_tree):
+    """Full EMA tree for evaluation: frozen leaves (scalar
+    placeholders in the stored EMA, see ema_init_tree) read from the
+    raw tree — a frozen parameter IS its own EMA."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, raw, e: raw if is_frozen_param(path) else e,
+        raw_tree, ema_tree)
 
 
 class TrainState(NamedTuple):
@@ -119,11 +145,10 @@ def create_train_state(variables, tx) -> TrainState:
         params=params,
         batch_stats=batch_stats,
         opt_state=tx.init(params),
-        # jnp.array(copy=True): astype(f32) on an f32 leaf is a no-op
-        # alias, and an aliased EMA tree makes the donated train step
-        # fail with "attempt to donate the same buffer twice"
-        ema_params=jax.tree.map(
-            lambda x: jnp.array(x, jnp.float32, copy=True), params),
-        ema_batch_stats=jax.tree.map(
-            lambda x: jnp.array(x, jnp.float32, copy=True), batch_stats),
+        # ema_init_tree copies (jnp.array(copy=True)): astype(f32) on
+        # an f32 leaf is a no-op alias, and an aliased EMA tree makes
+        # the donated train step fail with "attempt to donate the same
+        # buffer twice". Frozen (teacher) leaves get placeholders.
+        ema_params=ema_init_tree(params),
+        ema_batch_stats=ema_init_tree(batch_stats),
     )

@@ -29,16 +29,23 @@ from ..utils.runtime import (enable_compilation_cache, shard_batch,
 from .optim import TrainState, create_train_state, make_optimizer
 
 
-def _device_batch(mesh, batch: Dict[str, np.ndarray], with_prev: float,
-                  use_box_mask: float):
-    out = {}
-    for k, v in batch.items():
-        if k in ("gt_boxes", "gt_labels", "sample_token"):
-            continue
-        out[k] = v
+# loader outputs that never go to device (host-side decode/eval only);
+# shared with bench.py so the two filters cannot drift
+HOST_ONLY_KEYS = ("gt_boxes", "gt_labels", "sample_token")
+
+
+def device_batch(mesh, batch: Dict[str, np.ndarray], with_prev: float,
+                 use_box_mask: float):
+    """Strip host-only entries, attach the epoch-gate scalars, and
+    shard onto the mesh — the single batch-preparation path for the
+    trainer, bench.py and the throughput probe."""
+    out = {k: v for k, v in batch.items() if k not in HOST_ONLY_KEYS}
     out["with_prev"] = np.asarray(with_prev, dtype=np.float32)
     out["use_box_mask"] = np.asarray(use_box_mask, dtype=np.float32)
     return shard_batch(mesh, out)
+
+
+_device_batch = device_batch  # back-compat alias
 
 
 class Trainer:

@@ -138,3 +138,98 @@ def test_mm_ragged_tiles():
     rng = np.random.default_rng(4)
     scan, mm = _both_costs(rng, Hc=10, Wc=21, win_w=32, t_scale=0.3)
     np.testing.assert_allclose(mm, scan, rtol=3e-2, atol=3e-1)
+
+
+def test_plane_groups_match_uniform():
+    """Per-plane-group windows (ops/cost_volume.py plane_groups) split
+    the depth planes across pallas_calls; with every group's window
+    covering its planes' spans the result equals the single-call
+    uniform-window kernel exactly."""
+    rng = np.random.default_rng(5)
+    B, N, Hc, Wc, C, D = 1, 2, 8, 24, 16, 6
+    curr = jnp.asarray(rng.standard_normal((B, N, Hc, Wc, C)),
+                       jnp.float32)
+    prev = jnp.maximum(jnp.asarray(
+        rng.standard_normal((B, N, Hc, Wc, C)), jnp.float32), 0.0)
+    frustum, k2s, intr, pr, pt, input_size = _geometry(
+        rng, B, N, Hc, Wc, D, t_scale=0.3, rot=0.05,
+        depth_range=(4.0, 30.0))
+    az, bz, a2, b2 = homography_coeffs(
+        jnp.asarray(frustum), jnp.asarray(k2s), jnp.asarray(intr),
+        jnp.asarray(pr), jnp.asarray(pt), input_size, (Hc, Wc))
+    depths = frustum[:, 0, 0, 2]
+    uni = np.asarray(cost_volume_mm(
+        curr, prev, depths, az, bz, a2, b2, 5.0, win_w=24, win_h=8,
+        interpret=True))
+    grp = np.asarray(cost_volume_mm(
+        curr, prev, depths, az, bz, a2, b2, 5.0,
+        plane_groups=((2, 24, 8), (4, 24, 8), (9999, 24, 8)),
+        interpret=True))
+    np.testing.assert_allclose(grp, uni, rtol=1e-5, atol=1e-5)
+
+
+def test_flagship_geometry_clamp_bound():
+    """VERDICT r4 item 3: the window-clamp deviation is MEASURED, not
+    argued. At flagship geometry (synthetic benchmark rig, both stereo
+    frames) the shipped per-plane-group windows
+    (DepthNetConfig.cv_plane_groups) must (a) clamp no in-view sample
+    on any plane of the narrow-window groups (>= index 48, the
+    measured-safe region of CV_AUDIT_r05.json) and (b) clamp no more
+    samples overall than the old uniform 32x32 window."""
+    from ocrfdet_tpu.config import ocrfdet_config
+    from ocrfdet_tpu.data.synthetic import make_batch
+    from ocrfdet_tpu.ops.cv_audit import audit_batch
+
+    cfg = ocrfdet_config()
+    batch = make_batch(cfg, batch_size=1, seed=0, with_targets=False)
+    frames = list(range(cfg.total_frames - 1))
+    tile = cfg.vt.depthnet.cv_tile
+
+    uni = audit_batch(batch, cfg, frames, tile, 32, 32)
+    clamped_grouped = 0
+    start = 0
+    D = len(uni["per_plane"]["n_clamped"])
+    for (end, ww, wh) in cfg.vt.depthnet.cv_plane_groups:
+        end = min(end, D)
+        if end <= start:
+            continue
+        res = audit_batch(batch, cfg, frames, tile, ww, wh)
+        seg = res["per_plane"]["n_clamped"][start:end]
+        if start >= 48:
+            assert sum(seg) == 0, (start, end, sum(seg))
+        clamped_grouped += sum(seg)
+        start = end
+    assert start == D
+    assert clamped_grouped <= uni["n_clamped"], (
+        clamped_grouped, uni["n_clamped"])
+
+
+def test_chunk_mode_matches_scan():
+    """plane-group mode 'chunk' (_mm_chunk_kernel: one shared window +
+    one [dch*P, S] matmul per 8-plane chunk) matches the gather path
+    when the shared window covers every chunk-union span."""
+    rng = np.random.default_rng(11)
+    B, N, Hc, Wc, C, D = 1, 2, 8, 24, 16, 10
+    curr = jnp.asarray(rng.standard_normal((B, N, Hc, Wc, C)),
+                       jnp.float32)
+    prev = jnp.maximum(jnp.asarray(
+        rng.standard_normal((B, N, Hc, Wc, C)), jnp.float32), 0.0)
+    frustum, k2s, intr, pr, pt, input_size = _geometry(
+        rng, B, N, Hc, Wc, D, t_scale=0.3, rot=0.05,
+        depth_range=(4.0, 30.0))
+    az, bz, a2, b2 = homography_coeffs(
+        jnp.asarray(frustum), jnp.asarray(k2s), jnp.asarray(intr),
+        jnp.asarray(pr), jnp.asarray(pt), input_size, (Hc, Wc))
+    depths = frustum[:, 0, 0, 2]
+    scan = np.asarray(cost_volume_scan(
+        curr, prev, jnp.asarray(depths), az, bz, a2, b2, 5.0))
+    chunk = np.asarray(cost_volume_mm(
+        curr, prev, depths, az, bz, a2, b2, 5.0,
+        plane_groups=((9999, 24, 8, "chunk"),), interpret=True))
+    np.testing.assert_allclose(chunk, scan, rtol=3e-2, atol=3e-1)
+    # mixed per-plane + chunk groups agree with the all-plane kernel
+    mixed = np.asarray(cost_volume_mm(
+        curr, prev, depths, az, bz, a2, b2, 5.0,
+        plane_groups=((8, 24, 8), (9999, 24, 8, "chunk")),
+        interpret=True))
+    np.testing.assert_allclose(mixed, scan, rtol=3e-2, atol=3e-1)

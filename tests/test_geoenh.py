@@ -120,3 +120,31 @@ def test_kd_losses_descend_under_optimization():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < 0.8 * losses[0], losses
+
+
+def test_frozen_ema_placeholder_roundtrip():
+    """The frozen teacher's EMA is a scalar placeholder, never a 3.6 GB
+    copy (train/optim.py ema_init_tree); updates keep the placeholder
+    and resolve_ema substitutes the raw (frozen) value for eval."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ocrfdet_tpu.config import OptimConfig
+    from ocrfdet_tpu.train.optim import (ema_init_tree, ema_update,
+                                         resolve_ema)
+
+    params = {"aggregator": {"w": jnp.full((8,), 5.0)},
+              "head": {"w": jnp.full((8,), 2.0)}}
+    ema = ema_init_tree(params)
+    assert ema["aggregator"]["w"].shape == ()          # placeholder
+    assert ema["head"]["w"].shape == (8,)
+    new = jax.tree.map(lambda x: x * 3.0, params)
+    ema2 = ema_update(OptimConfig(), ema, new, jnp.asarray(0))
+    assert ema2["aggregator"]["w"].shape == ()
+    full = resolve_ema(new, ema2)
+    np.testing.assert_array_equal(np.asarray(full["aggregator"]["w"]),
+                                  np.asarray(new["aggregator"]["w"]))
+    # non-frozen leaf is a true EMA blend, not the raw value
+    assert full["head"]["w"].shape == (8,)
+    assert not np.allclose(np.asarray(full["head"]["w"]),
+                           np.asarray(new["head"]["w"]))

@@ -21,6 +21,23 @@ def _to_jnp(batch):
             for k, v in batch.items()}
 
 
+def _tiny_bev(base, n: int):
+    """tiny config with an n x n BEV grid (keeps voxel*out_size_factor
+    == BEV cell, mirroring tools_tpu/overfit.py --bev). Needed for
+    S=4 row sharding: the halo path requires (bev_h / S) % 2^strides
+    == 0, which the 16-row tiny grid only satisfies at S<=2."""
+    import dataclasses
+    cell = 102.4 / n
+    return dataclasses.replace(
+        base,
+        grid=dataclasses.replace(base.grid, x=(-51.2, 51.2, cell),
+                                 y=(-51.2, 51.2, cell)),
+        vt=dataclasses.replace(base.vt, bev_h=n, bev_w=n),
+        head=dataclasses.replace(base.head,
+                                 voxel_size=(cell / 8, cell / 8)),
+    )
+
+
 def test_render_param_matching():
     import jax.tree_util as jtu
     fake = {"img_view_transformer": {"S_MLP": {"mlp": {"fc1": 0}},
@@ -164,10 +181,11 @@ def test_deep_camera_sharding_ocrf_eval_matches():
     assert aux_sh["depth"].shape == aux_rep["depth"].shape
 
 
-def test_deep_camera_sharding_raw_gradients_match():
+@pytest.mark.parametrize("S", [2, 4])
+def test_deep_camera_sharding_raw_gradients_match(S):
     """Pin the GRADIENT scaling through the phase-2 psum paths
     (advisor r3, medium): raw dL/dparams under shard_map with
-    space=2/shard_vt=True must equal the unsharded gradients on
+    space=S/shard_vt=True must equal the unsharded gradients on
     identical params/batch — independent of any optimizer (Adam's
     first step is ~scale-invariant, so the param-compare test alone
     would miss a uniform 1/S mis-scaling through the pvary^T=psum
@@ -201,6 +219,15 @@ def test_deep_camera_sharding_raw_gradients_match():
     base = dataclasses.replace(tiny_config(with_ocrf=True),
                                compute_dtype="float32",
                                use_stereo=False)
+    if S > 2:
+        # S=4 camera sharding needs num_cams % S == 0 (VERDICT r4
+        # Weak #5: exercise the S-dependent slice arithmetic at S=4)
+        base = dataclasses.replace(
+            base, data=dataclasses.replace(
+                base.data,
+                cams=("CAM_FRONT", "CAM_FRONT_RIGHT", "CAM_BACK",
+                      "CAM_BACK_LEFT"),
+                num_cams=4))
     batch = make_batch(base, batch_size=2, seed=5)
     # duplicate camera 0 across the camera axis of every per-camera
     # array ([B, F, N, ...] frames tensors and [B, N, ...] key-frame
@@ -234,10 +261,10 @@ def test_deep_camera_sharding_raw_gradients_match():
                            render_only)
 
     cfg_sh = dataclasses.replace(
-        base, parallel=ParallelConfig(space_axis=2, shard_cameras=True,
+        base, parallel=ParallelConfig(space_axis=S, shard_cameras=True,
                                       shard_vt=True))
     model_sh = OcRFDet(cfg_sh)
-    mesh = make_mesh(data=1, space=2, devices=jax.devices()[:2])
+    mesh = make_mesh(data=1, space=S, devices=jax.devices()[:S])
 
     def local_grads(p, bs, b, render_only):
         def loss_fn(pp):
@@ -334,12 +361,17 @@ def test_deep_camera_sharding_cuts_per_device_flops():
     assert f_deep < 0.98 * f_gather, (f_deep, f_gather)
 
 
-def test_bev_row_sharding_matches_replicated():
+@pytest.mark.parametrize("S", [2, 4])
+def test_bev_row_sharding_matches_replicated(S):
     """Phase-3 spatial sharding (shard_bev, parallel/halo.py): the BEV
     stack (pre-process -> CustomResNet encoder -> FPN_LSS -> CenterHead)
     on per-device ROW blocks with 1-row halo ppermutes equals the
     full-grid forward EXACTLY (same ops, same padding zeros via
     ppermute edge semantics) — independent of camera sharding.
+    Parametrized over S in {2, 4} (VERDICT r4 Weak #5: halo /
+    banded-resize / BN-psum index arithmetic is S-dependent; S=2
+    cannot see S=4 bugs). S=4 uses a 64-row BEV grid so the stride-2
+    halo divisibility holds on 16-row blocks.
 
     Two comparisons:
       * eval forward (running-average BN) vs the plain unsharded
@@ -357,14 +389,16 @@ def test_bev_row_sharding_matches_replicated():
 
     base = dataclasses.replace(tiny_config(with_ocrf=False),
                                compute_dtype="float32")
+    if S > 2:
+        base = _tiny_bev(base, 64)
     batch = _to_jnp(make_batch(base, batch_size=2, seed=7))
     model_rep = OcRFDet(base)
     variables = model_rep.init(jax.random.PRNGKey(0), batch, train=True)
-    mesh = make_mesh(data=1, space=2, devices=jax.devices()[:2])
+    mesh = make_mesh(data=1, space=S, devices=jax.devices()[:S])
 
     def run(shard_bev, train):
         cfg = dataclasses.replace(
-            base, parallel=ParallelConfig(space_axis=2,
+            base, parallel=ParallelConfig(space_axis=S,
                                           shard_cameras=False,
                                           shard_bev=shard_bev))
         model = OcRFDet(cfg)
@@ -391,14 +425,17 @@ def test_bev_row_sharding_matches_replicated():
                 err_msg=f"eval {k}")
 
     # train: halo path == replicated path on the same mesh (BN batch
-    # stats live), tight tolerance
+    # stats live). atol 5e-4: the S=4 64-row grid reduces BN batch
+    # statistics in a different order than the full-grid pass and the
+    # renormalisation amplifies the f32 jitter (~0.01% of elements at
+    # ~1e-4 abs) — the eval-mode comparison above is the exact gate.
     preds_rep, stats_rep = run(False, train=True)
     preds_sh, stats_sh = run(True, train=True)
     for t_rep, t_sh in zip(preds_rep, preds_sh):
         for k in t_rep:
             np.testing.assert_allclose(
                 np.asarray(t_rep[k], np.float32),
-                np.asarray(t_sh[k], np.float32), rtol=1e-3, atol=1e-4,
+                np.asarray(t_sh[k], np.float32), rtol=1e-3, atol=5e-4,
                 err_msg=f"train {k}")
     for (pa, a), b in zip(
             jax.tree_util.tree_leaves_with_path(stats_rep),

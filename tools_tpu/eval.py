@@ -41,8 +41,12 @@ def main():
 
     ckptr = ocp.StandardCheckpointer()
     state = ckptr.restore(os.path.abspath(args.ckpt))
-    params = state["ema_params"]
-    batch_stats = state["ema_batch_stats"]
+    # frozen (teacher) leaves live as placeholders in the stored EMA
+    # (train/optim.py ema_init_tree); substitute the raw values back
+    from ocrfdet_tpu.train.optim import resolve_ema
+    params = resolve_ema(state["params"], state["ema_params"])
+    batch_stats = resolve_ema(state["batch_stats"],
+                              state["ema_batch_stats"])
 
     token_to_pose = {
         info["token"]: dict(

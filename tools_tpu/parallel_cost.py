@@ -30,17 +30,57 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def collective_bytes(compiled) -> dict:
+    """Sum the output bytes of cross-device collectives in the
+    compiled HLO, by op kind — the program's ICI traffic (one full
+    copy per op execution; overlapping/multi-round costs are runtime
+    properties this static count does not model)."""
+    import re
+    sizes = {"all-reduce": 0, "all-gather": 0, "reduce-scatter": 0,
+             "collective-permute": 0}
+    dt_bytes = {"f32": 4, "bf16": 2, "s32": 4, "f16": 2, "u32": 4,
+                "pred": 1, "s8": 1, "u8": 1, "f64": 8}
+    try:
+        txt = compiled.as_text()
+    except Exception:  # noqa: BLE001
+        return {}
+    pat = re.compile(
+        r"=\s+(?:\(([^)]*)\)|(\w+)\[([\d,]*)\][^ ]*)\s+"
+        r"(all-reduce|all-gather|reduce-scatter|collective-permute)")
+    for m in pat.finditer(txt):
+        kind = m.group(4)
+        shapes = []
+        if m.group(1) is not None:
+            for s in m.group(1).split(","):
+                sm = re.match(r"\s*(\w+)\[([\d,]*)\]", s)
+                if sm:
+                    shapes.append((sm.group(1), sm.group(2)))
+        else:
+            shapes.append((m.group(2), m.group(3)))
+        for dt, dims in shapes:
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            sizes[kind] += n * dt_bytes.get(dt, 4)
+    sizes["total_mb"] = round(sum(
+        v for k, v in sizes.items() if k != "total_mb") / 2**20, 2)
+    return sizes
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--variants", type=str,
                     default="replicated,phase2,phase3")
+    ap.add_argument("--data", type=int, default=1)
+    ap.add_argument("--space", type=int, default=2)
     args = ap.parse_args()
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_num_cpu_devices", 2)
+    jax.config.update("jax_num_cpu_devices", args.data * args.space)
 
     from ocrfdet_tpu.config import ocrfdet_config
     from ocrfdet_tpu.data.synthetic import make_batch
@@ -53,15 +93,21 @@ def main():
                                            shard_batch, shard_state)
 
     enable_compilation_cache()
-    mesh = make_mesh(data=1, space=2, devices=jax.devices()[:2])
+    S = args.space
+    mesh = make_mesh(data=args.data, space=S,
+                     devices=jax.devices()[:args.data * S])
 
     def variant_cfg(name):
-        cfg = ocrfdet_config(batch_size=1)
+        cfg = ocrfdet_config(batch_size=max(1, args.data))
         p2 = name in ("phase2", "phase3")
-        p3 = name == "phase3"
+        p3 = name in ("phase3", "phase3rows")
+        # camera sharding needs the camera count to divide: at S=4 the
+        # 6-camera flagship runs rows/render-only phase 3
+        if cfg.data.num_cams % S:
+            p2 = False
         return dataclasses.replace(
             cfg, parallel=dataclasses.replace(
-                cfg.parallel, space_axis=2,
+                cfg.parallel, space_axis=S,
                 shard_cameras=p2, shard_vt=p2,
                 shard_bev=p3, shard_render=p3))
 
@@ -84,6 +130,7 @@ def main():
                 float(cost.get("bytes accessed", float("nan"))) / 2**30,
                 3),
             "t_compile_s": round(time.perf_counter() - t0, 1),
+            "collective_bytes": collective_bytes(compiled),
         }
         print(json.dumps({name: results[name]}), flush=True)
 
@@ -94,7 +141,8 @@ def main():
             / base["flops_per_device_t"], 4)
     if args.out:
         with open(args.out, "w") as f:
-            json.dump({"mesh": "d1xs2 (flagship shapes, batch 1)",
+            json.dump({"mesh": f"d{args.data}xs{args.space} "
+                               "(flagship shapes)",
                        "variants": results}, f, indent=1)
         print(f"wrote {args.out}")
 
