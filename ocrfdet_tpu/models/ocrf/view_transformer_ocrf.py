@@ -447,9 +447,15 @@ class OcRFViewTransformer(nn.Module):
 
         cam_axes = type(sc)(w2c=0, proj=0, cam_center=0, tan_fovx=0,
                             tan_fovy=0, height=None, width=None)
-        img_g, dep_g = jax.vmap(render_one,
-                                in_axes=(cam_axes, 0, 0, 0))(
-            sc, color, opac, cov3d)
+        if "splat" in cfg.ablate:              # profiling-only seam
+            img_g = jnp.sum(color).astype(jnp.float32) * jnp.zeros(
+                (B, Hr, W, 3), jnp.float32)
+            dep_g = jnp.sum(opac).astype(jnp.float32) * jnp.zeros(
+                (B, Hr, W), jnp.float32)
+        else:
+            img_g, dep_g = jax.vmap(render_one,
+                                    in_axes=(cam_axes, 0, 0, 0))(
+                sc, color, opac, cov3d)
         if band is not None:
             # bands back to the full image — invariant: the photometric
             # and depth render losses differentiate through these
@@ -458,6 +464,18 @@ class OcRFViewTransformer(nn.Module):
             dep_g = all_gather_invariant(dep_g, band[0], axis=1)
 
         # NeRF render of the chosen camera
+        if "nerfcomp" in cfg.ablate:           # profiling-only seam
+            img_n = jnp.zeros((B, H, W, 3), jnp.float32)
+            dep_n = jnp.zeros((B, H, W), jnp.float32)
+            img_ng = self.blend_img(img_g, img_n)
+            dep_ng = self.blend_depth(dep_g, dep_n)
+            gt_depth_c = take_cam(batch["gt_depth"])
+            return dict(
+                render_img=img_ng, render_img_g=img_g,
+                render_img_n=img_n, render_depth=dep_ng,
+                render_depth_g=dep_g, render_depth_n=dep_n,
+                render_gt_img=gt_img, render_gt_depth=gt_depth_c,
+            )
         fpn_c = take_cam(x)                            # [B,h,w,Cin]
         full = self.nerf_full_feat(fpn_c)              # [B,H,W,c]
         alpha_c = take_cam(alphas)[..., None].astype(full.dtype)

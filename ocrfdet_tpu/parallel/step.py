@@ -112,6 +112,20 @@ def build_train_step(cfg: OcRFDetConfig, model, tx,
             in_specs=(rep, rep, rep, batch_specs(batch)),
             out_specs=(rep, rep, rep, rep))(
                 state.params, state.batch_stats, state.step, batch)
+        # non-finite guard (the mmcv Fp16OptimizerHook skip-step
+        # analog): a degenerate sample (e.g. a near-singular projected
+        # gaussian) can emit inf/nan grads; applying them poisons
+        # params forever. Gate the WHOLE update — params, BN stats,
+        # opt state, EMA, step — on every gradient and the loss being
+        # finite, so a bad batch costs one skipped step instead of the
+        # run. The gate is traced (no host sync); the skip count is
+        # reported per step in the metrics.
+        gsum = sum(jnp.sum(jnp.abs(g.astype(jnp.float32)))
+                   for g in jax.tree.leaves(grads))
+        ok = jnp.isfinite(loss) & jnp.isfinite(gsum)
+        okf = ok.astype(jnp.float32)
+        grads = jax.tree.map(
+            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
         # ZeRO region: inputs state.opt_state / ema trees carry their
         # sharded layout; GSPMD partitions the elementwise update ops
         # to match, and the `updates` added to the replicated params
@@ -120,18 +134,26 @@ def build_train_step(cfg: OcRFDetConfig, model, tx,
             t, zero_sharding(mesh, t))
         updates, new_opt = tx.update(grads, state.opt_state,
                                      state.params)
-        new_opt = constrain(new_opt)
+        new_opt = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o),
+            constrain(new_opt), state.opt_state)
         new_params = jax.tree.map(
-            lambda p, u: p + u.astype(p.dtype), state.params, updates)
+            lambda p, u: p + jnp.where(ok, u, jnp.zeros_like(u))
+            .astype(p.dtype), state.params, updates)
+        new_stats = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), new_stats,
+            state.batch_stats)
         new_ema_p = constrain(ema_update(
             cfg.optim, state.ema_params, new_params, state.step))
         new_ema_s = constrain(ema_update(
             cfg.optim, state.ema_batch_stats, new_stats, state.step))
         new_state = TrainState(
-            step=state.step + 1, params=new_params,
+            step=state.step + okf.astype(state.step.dtype),
+            params=new_params,
             batch_stats=new_stats, opt_state=new_opt,
             ema_params=new_ema_p, ema_batch_stats=new_ema_s)
-        return new_state, dict(losses, loss_total=loss)
+        return new_state, dict(losses, loss_total=loss,
+                               skipped_nonfinite=1.0 - okf)
 
     # donate the (large) state so the update happens in place instead
     # of copying ~GBs of params/opt/EMA every step

@@ -51,6 +51,10 @@ def main():
     ap.add_argument("--objects", type=int, default=20)
     ap.add_argument("--img-hw", type=int, nargs=2, default=(450, 800))
     ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--max-steps-per-epoch", type=int, default=80,
+                    help="cap CBGS-inflated epochs (the class-balanced "
+                         "index list can be several x the distinct "
+                         "sample count)")
     ap.add_argument("--batch-size", type=int, default=2)
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--warmup", type=int, default=200)
@@ -106,7 +110,8 @@ def main():
         if start == 0 and os.path.exists(log_path):
             os.remove(log_path)
         for epoch in range(start, args.epochs):
-            trainer.run_epoch(loader, epoch, log_every=20)
+            trainer.run_epoch(loader, epoch, log_every=20,
+                              max_steps=args.max_steps_per_epoch)
             if (epoch + 1) % 5 == 0 or epoch == args.epochs - 1:
                 trainer.save(epoch)
 

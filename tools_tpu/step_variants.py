@@ -52,10 +52,17 @@ def time_variant(name: str, cfg, steps: int):
     compiled = step_fn.lower(state, batch).compile()
     state, metrics = compiled(state, batch)
     jax.block_until_ready(metrics["loss_total"])
+    sync = os.environ.get("OCRF_SYNC_STEPS") == "1"
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = compiled(state, batch)
-    jax.block_until_ready(metrics["loss_total"])
+        if sync:
+            # force a host readback every step: the tunnelled runtime
+            # has been seen reporting buffers ready before execution
+            # finishes, which lets a chained loop under-measure
+            float(metrics["loss_total"])
+    if not sync:
+        jax.block_until_ready(metrics["loss_total"])
     dt = (time.perf_counter() - t0) / steps
     flops = float("nan")
     try:
