@@ -119,7 +119,8 @@ def main():
         tx = make_optimizer(cfg.optim, variables["params"],
                             steps_per_epoch=1000)
         state = shard_state(mesh, create_train_state(variables, tx))
-        batch = shard_batch(mesh, make_batch(cfg, batch_size=1, seed=0))
+        batch = shard_batch(mesh, make_batch(
+            cfg, batch_size=max(1, args.data), seed=0))
         step = build_train_step(cfg, model, tx, mesh)
         t0 = time.perf_counter()
         compiled = step.lower(state, batch).compile()
