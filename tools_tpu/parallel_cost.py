@@ -134,6 +134,13 @@ def main():
             "collective_bytes": collective_bytes(compiled),
         }
         print(json.dumps({name: results[name]}), flush=True)
+        if args.out:
+            # incremental dump: a killed run still leaves its partial
+            # evidence on disk
+            with open(args.out, "w") as f:
+                json.dump({"mesh": f"d{args.data}xs{args.space} "
+                                   "(flagship shapes)",
+                           "variants": results}, f, indent=1)
 
     if len(results) > 1 and "phase3" in results:
         base = results.get("phase2") or results.get("replicated")
